@@ -1,0 +1,134 @@
+"""Steady-state heat equation model: graph-Laplacian assembly.
+
+Reproduces, bit-for-bit, the system built by ``IO::assemble``
+(``ExodusIO.hpp:128-723``), re-expressed as vectorized array ops instead of
+per-node ``std::map<idx_t, std::set<idx_t>>`` loops:
+
+- Nodes in any nodeset are Dirichlet boundary ("known") nodes; the remaining
+  free nodes are the DOFs (``ExodusIO.hpp:216-235``).
+- Two nodes are adjacent iff they co-occur in some element, over all element
+  blocks (``ExodusIO.hpp:342-378``); adjacency is de-duplicated (set
+  semantics).
+- ``A[i,j] = -1`` for free neighbors i≠j; ``A[i,i] = total degree`` counting
+  both free *and* boundary neighbors (``ExodusIO.hpp:123-125, :591-608``).
+- ``B[i] = Σ`` over distinct boundary neighbors c of the **smallest** nodeset
+  id containing c (ascending ``std::map`` scan with break,
+  ``ExodusIO.hpp:671-687``).
+- ``X`` is randomized (``ExodusIO.hpp:664-666``).
+
+Free DOFs are numbered by ascending mesh-node index — identical to the
+reference's relabeling scan (``ExodusIO.hpp:219-235``) on one rank.  Unlike
+the reference there is no "repartition + chase the permutation" phase: device
+placement is a separate, explicit step (:mod:`..parallel`), and
+``free_to_node`` plays the role of the rank-0-gathered ``globalIDMap``
+(``ExodusIO.hpp:692-720``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..io.mesh import MeshModel
+from ..ops.csr import CSRMatrix, coo_to_csr
+
+__all__ = ["HeatSystem", "assemble_heat_system", "unique_element_edges"]
+
+
+@dataclasses.dataclass
+class HeatSystem:
+    """The assembled reduced system ``A x = b`` plus index maps."""
+
+    A: CSRMatrix  # (n_free, n_free) graph Laplacian over DOFs
+    b: np.ndarray  # (n_free,) RHS from Dirichlet data
+    free_to_node: np.ndarray  # (n_free,) reduced idx -> 0-based mesh node
+    node_to_free: np.ndarray  # (num_nodes,) mesh node -> reduced idx, -1 if boundary
+    degree: np.ndarray  # (n_free,) total degree (diag of A)
+    mesh: Optional[MeshModel] = None
+
+    @property
+    def n_free(self) -> int:
+        return int(self.free_to_node.size)
+
+    def random_x(self, seed: int = 0) -> np.ndarray:
+        """Random initial iterate, as in ``(*X)->randomize()``
+        (``ExodusIO.hpp:664-666``) — but seeded for reproducibility."""
+        rng = np.random.default_rng(seed)
+        return rng.uniform(-1.0, 1.0, size=self.n_free)
+
+
+def unique_element_edges(mesh: MeshModel) -> np.ndarray:
+    """All unique directed node pairs (u, v), u != v, co-occurring in an element.
+
+    This is the array-programming replacement for the reference's
+    per-element double loop inserting into ``adjacency[u].insert(v)``
+    (``ExodusIO.hpp:360-376``).  Returns an (E, 2) int64 array with each
+    ordered pair appearing once.
+    """
+    n = mesh.num_nodes
+    chunks = []
+    for blk in mesh.blocks:
+        conn = blk.conn.astype(np.int64)
+        npe = conn.shape[1]
+        if npe < 2 or conn.shape[0] == 0:
+            continue
+        # Ordered index pairs (k, l), k != l, within an element.
+        k_idx, l_idx = np.nonzero(~np.eye(npe, dtype=bool))
+        u = conn[:, k_idx].reshape(-1)
+        v = conn[:, l_idx].reshape(-1)
+        chunks.append(np.stack([u, v], axis=1))
+    if not chunks:
+        return np.zeros((0, 2), dtype=np.int64)
+    pairs = np.concatenate(chunks, axis=0)
+    keys = pairs[:, 0] * np.int64(n) + pairs[:, 1]
+    uniq = np.unique(keys)
+    return np.stack([uniq // n, uniq % n], axis=1)
+
+
+def assemble_heat_system(mesh: MeshModel, dtype=np.float64) -> HeatSystem:
+    """Assemble the reduced Laplacian system with reference semantics."""
+    n = mesh.num_nodes
+    is_boundary, bval = mesh.boundary_value_per_node()
+    free_mask = ~is_boundary
+    free_to_node = np.nonzero(free_mask)[0].astype(np.int64)
+    node_to_free = np.full(n, -1, dtype=np.int64)
+    node_to_free[free_to_node] = np.arange(free_to_node.size)
+    n_free = int(free_to_node.size)
+
+    edges = unique_element_edges(mesh)  # (E, 2) unique (u, v)
+    u, v = edges[:, 0], edges[:, 1]
+
+    # Keep only edges whose source is a DOF: the reference only builds
+    # adjacency rows for free nodes (``ExodusIO.hpp:366-372``).
+    src_free = free_mask[u]
+    u, v = u[src_free], v[src_free]
+    ru = node_to_free[u]
+
+    # Total degree per free node (free + boundary neighbors): the diagonal
+    # (``ExodusIO.hpp:604-606`` uses adjacency[id].size()).
+    degree = np.bincount(ru, minlength=n_free).astype(dtype)
+
+    # Off-diagonal entries: -1 per free neighbor (``ExodusIO.hpp:597-601``).
+    both_free = free_mask[v]
+    rows = ru[both_free]
+    cols = node_to_free[v[both_free]]
+    coo_rows = np.concatenate([rows, np.arange(n_free, dtype=np.int64)])
+    coo_cols = np.concatenate([cols, np.arange(n_free, dtype=np.int64)])
+    coo_vals = np.concatenate([np.full(rows.size, -1.0, dtype=dtype), degree])
+    A = coo_to_csr(coo_rows, coo_cols, coo_vals, (n_free, n_free), sum_dups=False)
+
+    # RHS: sum of boundary-neighbor nodeset ids (``ExodusIO.hpp:671-687``).
+    bdry = ~both_free
+    b = np.zeros(n_free, dtype=dtype)
+    np.add.at(b, ru[bdry], bval[v[bdry]].astype(dtype))
+
+    return HeatSystem(
+        A=A,
+        b=b,
+        free_to_node=free_to_node,
+        node_to_free=node_to_free,
+        degree=degree,
+        mesh=mesh,
+    )

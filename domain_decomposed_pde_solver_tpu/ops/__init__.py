@@ -1,0 +1,17 @@
+"""Sparse formats and compute kernels (host CSR, device ELL, SpMV)."""
+
+from .csr import CSRMatrix, coo_to_csr
+from .ell import ELLMatrix, ell_from_csr, pad_to, pad_vector, unpad_vector
+from .spmv import ell_spmv, spmv_bytes
+
+__all__ = [
+    "CSRMatrix",
+    "coo_to_csr",
+    "ELLMatrix",
+    "ell_from_csr",
+    "pad_to",
+    "pad_vector",
+    "unpad_vector",
+    "ell_spmv",
+    "spmv_bytes",
+]

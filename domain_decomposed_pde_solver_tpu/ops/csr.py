@@ -1,0 +1,118 @@
+"""Host-side CSR sparse matrix (NumPy).
+
+The framework's equivalent of ``Tpetra::CrsMatrix`` on the host
+(``ExodusIO.hpp:417-423, :591-609``): assembly, partitioning, and AMG setup
+operate on this; the device path converts to padded ELL
+(:mod:`..ops.ell`) before upload.  Pure NumPy — no scipy.sparse dependency in
+the core (scipy is used only in tests as the golden reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+__all__ = ["CSRMatrix", "coo_to_csr"]
+
+
+@dataclasses.dataclass
+class CSRMatrix:
+    indptr: np.ndarray  # (n_rows+1,) int64
+    indices: np.ndarray  # (nnz,) int64, column indices, sorted within row
+    data: np.ndarray  # (nnz,) float64
+    shape: Tuple[int, int]
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.size)
+
+    def row_lengths(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    @property
+    def max_row_nnz(self) -> int:
+        return int(self.row_lengths().max()) if self.n_rows else 0
+
+    def diagonal(self) -> np.ndarray:
+        """Extract the diagonal (0 where absent)."""
+        d = np.zeros(self.n_rows, dtype=self.data.dtype)
+        rows = np.repeat(np.arange(self.n_rows), self.row_lengths())
+        on_diag = rows == self.indices
+        d[rows[on_diag]] = self.data[on_diag]
+        return d
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        rows = np.repeat(np.arange(self.n_rows), self.row_lengths())
+        prod = self.data * x[self.indices]
+        out = np.zeros(self.n_rows, dtype=np.result_type(self.data, x))
+        np.add.at(out, rows, prod)
+        return out
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros(self.shape, dtype=self.data.dtype)
+        rows = np.repeat(np.arange(self.n_rows), self.row_lengths())
+        out[rows, self.indices] = self.data
+        return out
+
+    def transpose(self) -> "CSRMatrix":
+        rows = np.repeat(np.arange(self.n_rows), self.row_lengths())
+        return coo_to_csr(
+            self.indices, rows, self.data, (self.n_cols, self.n_rows), sum_dups=False
+        )
+
+    def select_rows(self, rows: np.ndarray) -> "CSRMatrix":
+        """Submatrix of the given rows (columns unchanged)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        lens = self.row_lengths()[rows]
+        indptr = np.concatenate([[0], np.cumsum(lens)])
+        take = np.concatenate(
+            [np.arange(self.indptr[r], self.indptr[r + 1]) for r in rows]
+        ) if rows.size else np.zeros(0, np.int64)
+        return CSRMatrix(
+            indptr=indptr.astype(np.int64),
+            indices=self.indices[take],
+            data=self.data[take],
+            shape=(int(rows.size), self.n_cols),
+        )
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.csr_matrix((self.data, self.indices, self.indptr), shape=self.shape)
+
+
+def coo_to_csr(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    shape: Tuple[int, int],
+    sum_dups: bool = True,
+) -> CSRMatrix:
+    """Build CSR from COO triplets, summing duplicates like Tpetra's
+    ``insertGlobalValues`` + ``fillComplete`` (``ExodusIO.hpp:591-609``)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals)
+    n_rows, n_cols = shape
+    key = rows * np.int64(n_cols) + cols
+    order = np.argsort(key, kind="stable")
+    key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
+    if sum_dups and key.size:
+        uniq_key, start = np.unique(key, return_index=True)
+        seg = np.repeat(np.arange(start.size), np.diff(np.append(start, key.size)))
+        summed = np.zeros(start.size, dtype=vals.dtype)
+        np.add.at(summed, seg, vals)
+        rows, cols, vals = uniq_key // n_cols, uniq_key % n_cols, summed
+    counts = np.bincount(rows, minlength=n_rows)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return CSRMatrix(indptr=indptr, indices=cols, data=vals, shape=shape)

@@ -1,0 +1,23 @@
+"""Krylov solvers, eigen utilities, and preconditioners."""
+
+from .cg import CGResult, cg_solve, cg_solve_snapshots
+from .gmres import GMRESResult, gmres_solve
+from .power import PowerResult, power_method
+from .precond import (
+    chebyshev_preconditioner,
+    estimate_lmax_dinv_a,
+    jacobi_preconditioner,
+)
+
+__all__ = [
+    "CGResult",
+    "cg_solve",
+    "cg_solve_snapshots",
+    "GMRESResult",
+    "gmres_solve",
+    "PowerResult",
+    "power_method",
+    "jacobi_preconditioner",
+    "chebyshev_preconditioner",
+    "estimate_lmax_dinv_a",
+]

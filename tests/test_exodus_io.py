@@ -1,0 +1,96 @@
+"""Exodus-II reader/writer tests against the bundled reference meshes."""
+
+import numpy as np
+import pytest
+from scipy.io import netcdf_file
+
+from domain_decomposed_pde_solver_tpu.io import (
+    ExodusSolutionWriter,
+    read_exodus,
+    read_nodal_vars,
+    write_exodus,
+)
+
+MESHES = [
+    "rectangle-tris-boundary.exo",
+    "rectangle-tris.exo",
+    "2blocks.exo",
+    "brick.exo",
+    "lbracket.exo",
+    "tet-cube-heat.exo",
+]
+
+
+@pytest.mark.parametrize("name", MESHES)
+def test_read_matches_netcdf_header(data_dir, name):
+    path = str(data_dir / name)
+    mesh = read_exodus(path)
+    nc = netcdf_file(path, "r", mmap=False)
+    try:
+        assert mesh.num_nodes == int(nc.dimensions["num_nodes"])
+        assert mesh.num_elem == int(nc.dimensions.get("num_elem", 0) or 0)
+        assert len(mesh.blocks) == int(nc.dimensions.get("num_el_blk", 0) or 0)
+        assert len(mesh.node_sets) == int(nc.dimensions.get("num_node_sets", 0) or 0)
+        assert len(mesh.side_sets) == int(nc.dimensions.get("num_side_sets", 0) or 0)
+        for i, b in enumerate(mesh.blocks, start=1):
+            assert b.num_elem == int(nc.dimensions[f"num_el_in_blk{i}"])
+            assert b.nodes_per_elem == int(nc.dimensions[f"num_nod_per_el{i}"])
+    finally:
+        nc.close()
+    mesh.validate()
+
+
+@pytest.mark.parametrize("name", ["rectangle-tris-boundary.exo", "2blocks.exo", "brick.exo"])
+def test_roundtrip(data_dir, tmp_path, name):
+    mesh = read_exodus(str(data_dir / name))
+    out = str(tmp_path / "rt.exo")
+    write_exodus(out, mesh)
+    m2 = read_exodus(out)
+    np.testing.assert_allclose(mesh.coords, m2.coords)
+    assert len(mesh.blocks) == len(m2.blocks)
+    for b1, b2 in zip(mesh.blocks, m2.blocks):
+        assert b1.id == b2.id and b1.elem_type == b2.elem_type
+        np.testing.assert_array_equal(b1.conn, b2.conn)
+    for s1, s2 in zip(mesh.node_sets, m2.node_sets):
+        assert s1.id == s2.id
+        np.testing.assert_array_equal(s1.nodes, s2.nodes)
+    for s1, s2 in zip(mesh.side_sets, m2.side_sets):
+        assert s1.id == s2.id
+        np.testing.assert_array_equal(s1.elems, s2.elems)
+        np.testing.assert_array_equal(s1.sides, s2.sides)
+    np.testing.assert_array_equal(mesh.node_id_map, m2.node_id_map)
+
+
+def test_solution_writer_contract(data_dir, tmp_path):
+    """Timestep 0 must be the boundary snapshot (node value = nodeset id,
+    ``ExodusIO.hpp:1979-1989, :2030-2040``); later steps carry solutions."""
+    mesh = read_exodus(str(data_dir / "rectangle-tris-boundary.exo"))
+    out = str(tmp_path / "sol.exo")
+    free = np.array([2, 3, 5])
+    with ExodusSolutionWriter(out, mesh) as w:
+        w.write_solution(np.array([1.5, 2.5, 3.5]), free, 0)
+        w.write_solution(np.array([1.0, 2.0, 3.0]), free, 1)
+    names, times, vals = read_nodal_vars(out)
+    assert names == ["Steady-State Heat Solution"]
+    np.testing.assert_allclose(times, [0.0, 0.0, 1.0])
+    # Boundary snapshot: nodesets 50 -> {4,0,1}, 200 -> {8,6,7}; free = 0.
+    expected0 = np.zeros(9)
+    expected0[[4, 0, 1]] = 50.0
+    expected0[[8, 6, 7]] = 200.0
+    np.testing.assert_allclose(vals[0, 0], expected0)
+    # Solutions scattered to free nodes, boundary values retained.
+    assert vals[1, 0, 2] == 1.5 and vals[2, 0, 2] == 1.0
+    assert vals[2, 0, 4] == 50.0 and vals[2, 0, 8] == 200.0
+
+
+def test_boundary_tiebreaks(data_dir):
+    """Smallest nodeset id feeds the RHS; largest wins the timestep-0 write."""
+    mesh = read_exodus(str(data_dir / "rectangle-tris-boundary.exo"))
+    # Inject an overlapping nodeset artificially.
+    from domain_decomposed_pde_solver_tpu.io.mesh import NodeSet
+
+    mesh.node_sets.append(NodeSet(id=7, nodes=np.array([4])))
+    is_b, bval = mesh.boundary_value_per_node()
+    assert bval[4] == 7.0  # min id (7 < 50): RHS tie-break (ExodusIO.hpp:675-682)
+    wvals = mesh.boundary_write_values()
+    assert wvals[4] == 50.0  # max id: write tie-break (ExodusIO.hpp:1979-1989)
