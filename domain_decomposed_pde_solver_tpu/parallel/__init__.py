@@ -1,1 +1,41 @@
+"""Domain decomposition: partitioners, halo plans, sharded operators."""
 
+from .partition import (
+    PartitionStats,
+    build_dual_graph,
+    edgecut,
+    partition_graph,
+    partition_mesh_elements,
+    partition_rcb,
+    partition_stats,
+    refine_partition,
+)
+from .halo import HaloPlan, build_halo_plan
+from .decompose import decompose_mesh, write_decomposition
+from .sharded import (
+    ShardedOperator,
+    make_device_mesh,
+    sharded_cg_solve,
+    sharded_gmres_solve,
+    sharded_power_method,
+)
+
+__all__ = [
+    "PartitionStats",
+    "build_dual_graph",
+    "edgecut",
+    "partition_graph",
+    "partition_mesh_elements",
+    "partition_rcb",
+    "partition_stats",
+    "refine_partition",
+    "HaloPlan",
+    "build_halo_plan",
+    "decompose_mesh",
+    "write_decomposition",
+    "ShardedOperator",
+    "make_device_mesh",
+    "sharded_cg_solve",
+    "sharded_gmres_solve",
+    "sharded_power_method",
+]

@@ -1,0 +1,228 @@
+"""Multi-device sharded operators and solvers (shard_map + collectives).
+
+The runtime half of domain decomposition: the :class:`HaloPlan` built on the
+host becomes device-resident arrays sharded over a 1-D
+``jax.sharding.Mesh``, and the solve runs as ONE jitted SPMD program under
+``jax.shard_map``:
+
+- halo exchange = ``lax.all_to_all`` on a fixed (P, H) buffer over ICI —
+  replacing Tpetra Import/Export and the reference's MPI windows
+  (``ExodusIO.hpp:429-576``);
+- dot products / norms = local partial dot + ``lax.psum`` — replacing the
+  MPI_Allreduce inside Belos/Tpetra (SURVEY §2.5);
+- the Krylov loop itself (:func:`..solvers.cg.cg_solve` etc.) runs unchanged
+  inside the shard_map body, with the sharded matvec/dot injected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solvers.cg import CGResult, cg_solve
+from ..solvers.gmres import GMRESResult, gmres_solve
+from ..solvers.power import PowerResult, power_method
+from .halo import HaloPlan
+
+__all__ = [
+    "ShardedOperator",
+    "make_device_mesh",
+    "sharded_cg_solve",
+    "sharded_gmres_solve",
+    "sharded_power_method",
+]
+
+AXIS = "parts"
+
+
+def make_device_mesh(nparts: int, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D device mesh over the first ``nparts`` devices."""
+    devs = list(devices if devices is not None else jax.devices())[:nparts]
+    if len(devs) < nparts:
+        raise ValueError(
+            f"need {nparts} devices, have {len(devs)} "
+            "(set --xla_force_host_platform_device_count for CPU testing)"
+        )
+    return Mesh(np.array(devs), (AXIS,))
+
+
+@dataclasses.dataclass
+class ShardedOperator:
+    """Device-resident sharded sparse operator + exchange plan."""
+
+    mesh: Mesh
+    plan: HaloPlan
+    cols: jax.Array  # (P, n_local, K) sharded on axis 0
+    vals: jax.Array  # (P, n_local, K) sharded on axis 0
+    send_idx: jax.Array  # (P, P, H) sharded on axis 0
+
+    @classmethod
+    def from_plan(cls, plan: HaloPlan, mesh: Mesh, dtype=None) -> "ShardedOperator":
+        sh = NamedSharding(mesh, P(AXIS))
+        vals = plan.ell_vals if dtype is None else plan.ell_vals.astype(np.dtype(dtype))
+        return cls(
+            mesh=mesh,
+            plan=plan,
+            cols=jax.device_put(plan.ell_cols, sh),
+            vals=jax.device_put(vals, sh),
+            send_idx=jax.device_put(plan.send_idx, sh),
+        )
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def put_vector(self, x_global: np.ndarray) -> jax.Array:
+        """Host (n_global,) -> sharded (P, n_local)."""
+        xp = self.plan.scatter_vector(np.asarray(x_global, dtype=self.dtype))
+        return jax.device_put(xp, NamedSharding(self.mesh, P(AXIS)))
+
+    def get_vector(self, x_sharded: jax.Array) -> np.ndarray:
+        return self.plan.gather_vector(np.asarray(x_sharded))
+
+
+# ---------------------------------------------------------------------------
+# Inside-shard_map building blocks (operate on per-device blocks)
+# ---------------------------------------------------------------------------
+
+
+def _halo_exchange(x_own: jax.Array, send_idx: jax.Array) -> jax.Array:
+    """x_own (n_local,), send_idx (P, H) -> halo (P, H) via all_to_all."""
+    sendbuf = jnp.take(x_own, send_idx, axis=0)  # (P, H)
+    return jax.lax.all_to_all(sendbuf, AXIS, split_axis=0, concat_axis=0, tiled=False)
+
+
+def _local_spmv(cols, vals, send_idx, x_own):
+    halo = _halo_exchange(x_own, send_idx)  # (P, H)
+    x_ext = jnp.concatenate([x_own, halo.reshape(-1)])
+    return jnp.sum(vals * jnp.take(x_ext, cols, axis=0), axis=1)
+
+
+def _psum_dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jax.lax.psum(jnp.vdot(a, b), AXIS)
+
+
+# ---------------------------------------------------------------------------
+# Sharded solver entry points — one SPMD program each
+# ---------------------------------------------------------------------------
+
+
+def sharded_cg_solve(
+    op: ShardedOperator,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    precond_diag: Optional[jax.Array] = None,
+    tol: float = 1e-14,
+    maxiter: int = 300,
+) -> CGResult:
+    """CG over the device mesh: the whole loop is one SPMD program."""
+    have_M = precond_diag is not None
+
+    def body(cols, vals, send_idx, b_blk, x_blk, *rest):
+        cols, vals, send_idx = cols[0], vals[0], send_idx[0]
+        b_l, x_l = b_blk[0], x_blk[0]
+        mv = lambda v: _local_spmv(cols, vals, send_idx, v)
+        M = None
+        if have_M:
+            inv_d = rest[0][0]
+            M = lambda r: r * inv_d
+        res = cg_solve(
+            mv, b_l, x_l, precond=M, tol=tol, maxiter=maxiter, dot=_psum_dot
+        )
+        return res.x[None], res.iterations, res.relres, res.converged
+
+    vectors = (b, x0) + ((precond_diag,) if have_M else ())
+    fn = jax.shard_map(
+        body,
+        mesh=op.mesh,
+        in_specs=(P(AXIS),) * (3 + len(vectors)),
+        out_specs=(P(AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+    x, iters, relres, conv = fn(op.cols, op.vals, op.send_idx, *vectors)
+    return CGResult(x=x, iterations=iters, relres=relres, converged=conv)
+
+
+def sharded_gmres_solve(
+    op: ShardedOperator,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    precond_diag: Optional[jax.Array] = None,
+    restart: int = 30,
+    tol: float = 1e-14,
+    maxiter: int = 300,
+) -> GMRESResult:
+    have_M = precond_diag is not None
+
+    def body(cols, vals, send_idx, b_blk, x_blk, *rest):
+        cols, vals, send_idx = cols[0], vals[0], send_idx[0]
+        b_l, x_l = b_blk[0], x_blk[0]
+        mv = lambda v: _local_spmv(cols, vals, send_idx, v)
+        M = None
+        if have_M:
+            inv_d = rest[0][0]
+            M = lambda r: r * inv_d
+        res = gmres_solve(
+            mv, b_l, x_l, precond=M, restart=restart, tol=tol,
+            maxiter=maxiter, dot=_psum_dot,
+        )
+        return res.x[None], res.iterations, res.relres, res.converged
+
+    vectors = (b, x0) + ((precond_diag,) if have_M else ())
+    fn = jax.shard_map(
+        body,
+        mesh=op.mesh,
+        in_specs=(P(AXIS),) * (3 + len(vectors)),
+        out_specs=(P(AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+    x, iters, relres, conv = fn(op.cols, op.vals, op.send_idx, *vectors)
+    return GMRESResult(x=x, iterations=iters, relres=relres, converged=conv)
+
+
+def sharded_power_method(
+    op: ShardedOperator,
+    z0: jax.Array,
+    *,
+    maxiter: int = 500,
+    tol: float = 1e-2,
+    check_every: int = 50,
+) -> PowerResult:
+    """Distributed power method — parity with ``ExodusMatrixTest`` run under
+    ``mpirun`` (``ExodusMatrixTest.cpp:131-171``)."""
+
+    def body(cols, vals, send_idx, z_blk):
+        cols, vals, send_idx = cols[0], vals[0], send_idx[0]
+        mv = lambda v: _local_spmv(cols, vals, send_idx, v)
+        res = power_method(
+            mv, z_blk[0], maxiter=maxiter, tol=tol, check_every=check_every,
+            dot=_psum_dot,
+        )
+        return (
+            res.eigenvalue,
+            res.eigenvector[None],
+            res.iterations,
+            res.residual,
+            res.converged,
+        )
+
+    fn = jax.shard_map(
+        body,
+        mesh=op.mesh,
+        in_specs=(P(AXIS),) * 4,
+        out_specs=(P(), P(AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+    lam, vec, iters, res, conv = fn(op.cols, op.vals, op.send_idx, z0)
+    return PowerResult(
+        eigenvalue=lam, eigenvector=vec, iterations=iters, residual=res,
+        converged=conv,
+    )

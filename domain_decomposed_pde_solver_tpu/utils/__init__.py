@@ -1,1 +1,16 @@
+"""Utilities: config/flags, deterministic logging, phase timers."""
 
+from .config import SolveConfig, add_solve_args, config_from_args
+from .logging import combine_outputs, print_csr_matrix, print_vector
+from .timers import PhaseTimer, trace_to
+
+__all__ = [
+    "SolveConfig",
+    "add_solve_args",
+    "config_from_args",
+    "combine_outputs",
+    "print_csr_matrix",
+    "print_vector",
+    "PhaseTimer",
+    "trace_to",
+]
