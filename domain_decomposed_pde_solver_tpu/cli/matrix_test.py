@@ -64,13 +64,13 @@ def main(argv=None) -> int:
     else:
         import jax.numpy as jnp
 
-        from ..ops import ell_from_csr, ell_spmv, pad_vector
+        from ..ops import ell_from_csr, pad_vector
         from ..solvers import power_method
 
         A = ell_from_csr(L, dtype=jnp.float64)
         z0 = pad_vector(z0_host, A.n_pad)
         res = power_method(
-            lambda x: ell_spmv(A, x), z0, maxiter=args.iterations,
+            A, z0, maxiter=args.iterations,
             tol=args.tolerance, check_every=args.reportFrequency,
         )
 

@@ -104,13 +104,12 @@ def main(argv=None) -> int:
             A = ell_from_csr(system.A, dtype=dtype)
             b = pad_vector(system.b.astype(np.dtype(dtype)), A.n_pad)
             x0 = pad_vector(x0_host.astype(np.dtype(dtype)), A.n_pad)
-            mv = lambda x: ell_spmv(A, x)
-            precond = _make_precond(cfg, A)
+            precond = _make_precond(cfg, A, system)
             writer = ExodusSolutionWriter(cfg.solution, out_mesh)
             writer.write_boundary_timestep()
             if cfg.solver == "gmres":
                 result = gmres_solve(
-                    mv, b, x0, precond=precond, restart=cfg.restart,
+                    A, b, x0, precond=precond, restart=cfg.restart,
                     tol=cfg.tolerance, maxiter=cfg.iterations,
                 )
                 x_host = unpad_vector(result.x, system.n_free)
@@ -128,7 +127,7 @@ def main(argv=None) -> int:
                         print(f"iter {k}: relres {relres:.3e}")
 
                 result = cg_solve_snapshots(
-                    mv, b, x0, precond=precond, tol=cfg.tolerance,
+                    A, b, x0, precond=precond, tol=cfg.tolerance,
                     maxiter=cfg.iterations, callback=snapshot,
                 )
                 x_host = unpad_vector(result.x, system.n_free)
@@ -154,11 +153,12 @@ def main(argv=None) -> int:
     return 0 if conv else 1
 
 
-def _make_precond(cfg, A):
+def _make_precond(cfg, A, system):
     from ..solvers import (
         chebyshev_preconditioner,
         estimate_lmax_dinv_a,
         jacobi_preconditioner,
+        smoothed_aggregation_setup,
     )
 
     if cfg.precond == "none":
@@ -169,9 +169,7 @@ def _make_precond(cfg, A):
         lmax = estimate_lmax_dinv_a(A)
         return chebyshev_preconditioner(A, lmax)
     if cfg.precond == "amg":
-        from ..solvers.precond.amg import smoothed_aggregation_preconditioner
-
-        return smoothed_aggregation_preconditioner(A)
+        return smoothed_aggregation_setup(system.A, dtype=A.dtype)
     raise ValueError(cfg.precond)
 
 

@@ -7,6 +7,8 @@ from .exodus import (
     read_nodal_vars,
     write_exodus,
 )
+from .boxmesh import box_mesh
+from .sides import nodesets_from_sidesets, side_local_nodes, sideset_nodes
 
 __all__ = [
     "ElemBlock",
@@ -18,4 +20,8 @@ __all__ = [
     "write_exodus",
     "read_nodal_vars",
     "ExodusSolutionWriter",
+    "box_mesh",
+    "nodesets_from_sidesets",
+    "side_local_nodes",
+    "sideset_nodes",
 ]

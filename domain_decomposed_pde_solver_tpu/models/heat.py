@@ -65,9 +65,18 @@ def unique_element_edges(mesh: MeshModel) -> np.ndarray:
     This is the array-programming replacement for the reference's
     per-element double loop inserting into ``adjacency[u].insert(v)``
     (``ExodusIO.hpp:360-376``).  Returns an (E, 2) int64 array with each
-    ordered pair appearing once.
+    ordered pair appearing once.  Uses the native C++ kernel
+    (``native/ddps_native.cpp::node_adjacency``) for single-block meshes.
     """
     n = mesh.num_nodes
+    if len(mesh.blocks) == 1:
+        from ..utils.native import node_adjacency_native
+
+        res = node_adjacency_native(mesh.blocks[0].conn, n)
+        if res is not None:
+            indptr, indices = res
+            u = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+            return np.stack([u, indices], axis=1)
     chunks = []
     for blk in mesh.blocks:
         conn = blk.conn.astype(np.int64)

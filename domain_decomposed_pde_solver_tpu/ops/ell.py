@@ -96,16 +96,25 @@ def ell_from_csr(
     k = max(pad_to(max(k, 1), width_multiple), 1)
     n_pad = pad_to(max(n_rows, 1), row_multiple)
 
-    cols = np.zeros((n_pad, k), dtype=np.int32)
-    vals = np.zeros((n_pad, k), dtype=np.float64)
-    # Scatter CSR entries into the padded layout in one shot.
-    rows = np.repeat(np.arange(n_rows), lens)
-    slot = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], lens)
-    cols[rows, slot] = csr.indices
-    vals[rows, slot] = csr.data
+    from ..utils.native import pack_ell_native
+
+    packed = pack_ell_native(
+        csr.indptr, csr.indices, csr.data, n_rows, n_pad, k, dtype
+    )
+    if packed is not None:
+        cols, vals = packed
+    else:
+        cols = np.zeros((n_pad, k), dtype=np.int32)
+        vals64 = np.zeros((n_pad, k), dtype=np.float64)
+        # Scatter CSR entries into the padded layout in one shot.
+        rows = np.repeat(np.arange(n_rows), lens)
+        slot = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], lens)
+        cols[rows, slot] = csr.indices
+        vals64[rows, slot] = csr.data
+        vals = vals64.astype(np.dtype(dtype))
     return ELLMatrix(
         cols=jnp.asarray(cols),
-        vals=jnp.asarray(vals.astype(np.dtype(dtype))),
+        vals=jnp.asarray(vals),
         n_rows=n_rows,
         n_cols=n_cols,
     )

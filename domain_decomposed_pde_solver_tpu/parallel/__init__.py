@@ -12,6 +12,7 @@ from .partition import (
 )
 from .halo import HaloPlan, build_halo_plan
 from .decompose import decompose_mesh, write_decomposition
+from .ownership import node_ownership_from_element_partition
 from .sharded import (
     ShardedOperator,
     make_device_mesh,
@@ -33,6 +34,7 @@ __all__ = [
     "build_halo_plan",
     "decompose_mesh",
     "write_decomposition",
+    "node_ownership_from_element_partition",
     "ShardedOperator",
     "make_device_mesh",
     "sharded_cg_solve",

@@ -211,6 +211,21 @@ def build_dual_graph(mesh: MeshModel) -> CSRMatrix:
     ne = mesh.num_elem
     if ne == 0:
         return CSRMatrix(np.zeros(1, np.int64), np.zeros(0, np.int64), np.zeros(0), (0, 0))
+    if len(mesh.blocks) == 1:
+        from ..utils.native import dual_graph_native
+
+        blk = mesh.blocks[0]
+        res = dual_graph_native(
+            blk.conn, mesh.num_nodes, elem_type_ncommon(blk.elem_type)
+        )
+        if res is not None:
+            indptr, indices = res
+            return CSRMatrix(
+                indptr=indptr,
+                indices=indices,
+                data=np.ones(indices.size),
+                shape=(ne, ne),
+            )
     # (elem, node) incidence over all blocks in global element order.
     elems = []
     nodes = []

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..solvers.cg import CGResult, cg_solve
 from ..solvers.gmres import GMRESResult, gmres_solve
 from ..solvers.power import PowerResult, power_method
+from ..solvers.precond.jacobi import DiagonalPreconditioner
 from .halo import HaloPlan
 
 __all__ = [
@@ -108,6 +109,28 @@ def _psum_dot(a: jax.Array, b: jax.Array) -> jax.Array:
     return jax.lax.psum(jnp.vdot(a, b), AXIS)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cols", "vals", "send_idx"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class BlockOperator:
+    """Per-device block of the sharded operator (used inside shard_map).
+
+    ``matvec`` performs the halo exchange + local ELL SpMV; a callable
+    pytree so the ordinary Krylov solvers run unchanged inside the SPMD
+    body (see the API note in :mod:`..solvers.cg`).
+    """
+
+    cols: jax.Array  # (n_local, K)
+    vals: jax.Array  # (n_local, K)
+    send_idx: jax.Array  # (P, H)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return _local_spmv(self.cols, self.vals, self.send_idx, x)
+
+
 # ---------------------------------------------------------------------------
 # Sharded solver entry points — one SPMD program each
 # ---------------------------------------------------------------------------
@@ -126,15 +149,11 @@ def sharded_cg_solve(
     have_M = precond_diag is not None
 
     def body(cols, vals, send_idx, b_blk, x_blk, *rest):
-        cols, vals, send_idx = cols[0], vals[0], send_idx[0]
-        b_l, x_l = b_blk[0], x_blk[0]
-        mv = lambda v: _local_spmv(cols, vals, send_idx, v)
-        M = None
-        if have_M:
-            inv_d = rest[0][0]
-            M = lambda r: r * inv_d
+        op = BlockOperator(cols[0], vals[0], send_idx[0])
+        M = DiagonalPreconditioner(rest[0][0]) if have_M else None
         res = cg_solve(
-            mv, b_l, x_l, precond=M, tol=tol, maxiter=maxiter, dot=_psum_dot
+            op, b_blk[0], x_blk[0], precond=M, tol=tol, maxiter=maxiter,
+            dot=_psum_dot,
         )
         return res.x[None], res.iterations, res.relres, res.converged
 
@@ -163,15 +182,10 @@ def sharded_gmres_solve(
     have_M = precond_diag is not None
 
     def body(cols, vals, send_idx, b_blk, x_blk, *rest):
-        cols, vals, send_idx = cols[0], vals[0], send_idx[0]
-        b_l, x_l = b_blk[0], x_blk[0]
-        mv = lambda v: _local_spmv(cols, vals, send_idx, v)
-        M = None
-        if have_M:
-            inv_d = rest[0][0]
-            M = lambda r: r * inv_d
+        op = BlockOperator(cols[0], vals[0], send_idx[0])
+        M = DiagonalPreconditioner(rest[0][0]) if have_M else None
         res = gmres_solve(
-            mv, b_l, x_l, precond=M, restart=restart, tol=tol,
+            op, b_blk[0], x_blk[0], precond=M, restart=restart, tol=tol,
             maxiter=maxiter, dot=_psum_dot,
         )
         return res.x[None], res.iterations, res.relres, res.converged
@@ -200,10 +214,9 @@ def sharded_power_method(
     ``mpirun`` (``ExodusMatrixTest.cpp:131-171``)."""
 
     def body(cols, vals, send_idx, z_blk):
-        cols, vals, send_idx = cols[0], vals[0], send_idx[0]
-        mv = lambda v: _local_spmv(cols, vals, send_idx, v)
+        op = BlockOperator(cols[0], vals[0], send_idx[0])
         res = power_method(
-            mv, z_blk[0], maxiter=maxiter, tol=tol, check_every=check_every,
+            op, z_blk[0], maxiter=maxiter, tol=tol, check_every=check_every,
             dot=_psum_dot,
         )
         return (

@@ -4,9 +4,11 @@ from .cg import CGResult, cg_solve, cg_solve_snapshots
 from .gmres import GMRESResult, gmres_solve
 from .power import PowerResult, power_method
 from .precond import (
+    AMGPreconditioner,
     chebyshev_preconditioner,
     estimate_lmax_dinv_a,
     jacobi_preconditioner,
+    smoothed_aggregation_setup,
 )
 
 __all__ = [
@@ -20,4 +22,6 @@ __all__ = [
     "jacobi_preconditioner",
     "chebyshev_preconditioner",
     "estimate_lmax_dinv_a",
+    "AMGPreconditioner",
+    "smoothed_aggregation_setup",
 ]

@@ -2,14 +2,20 @@
 
 The TPU-native successor to the reference's Belos GMRES loop
 (``BelosMueLuSolver.cpp:87-139``) for the SPD reduced Laplacian: CG is the
-right Krylov method for this matrix (the reference uses GMRES only because
-Belos' CG was not wired up; GMRES parity lives in :mod:`.gmres`).
+right Krylov method for this matrix (GMRES parity lives in :mod:`.gmres`).
 
 Design for XLA: the whole iteration is a ``lax.while_loop`` over statically
 shaped arrays — one compiled program, no host round-trips.  Dot products are
 plain ``jnp.vdot`` on one device and become ``lax.psum``-reduced partial dots
 under ``shard_map`` (see :mod:`..parallel.sharded`), replacing Tpetra's
 ``MPI_Allreduce``-backed ``dot``/``norm2``.
+
+API note — **operators and preconditioners are pytree arguments**, not
+closures: the operator is any pytree with a ``.matvec(x)`` method
+(:class:`..ops.ell.ELLMatrix`, sharded block operators, ...) and the
+preconditioner any callable pytree (:mod:`.precond`).  Closing a jit over
+concrete device arrays embeds them as constants, which this platform
+penalizes catastrophically (see the project performance notes).
 
 A separate snapshot driver (:func:`cg_solve_snapshots`) reproduces the
 reference's 1-iteration-per-solve + ``writeSolution`` animation loop
@@ -20,14 +26,21 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CGResult", "cg_solve", "cg_solve_snapshots"]
+__all__ = ["CGResult", "cg_solve", "cg_solve_snapshots", "IdentityPrecond"]
 
-MatVec = Callable[[jax.Array], jax.Array]
+
+@partial(jax.tree_util.register_dataclass, data_fields=[], meta_fields=[])
+@dataclasses.dataclass
+class IdentityPrecond:
+    """No-op preconditioner (callable pytree)."""
+
+    def __call__(self, r):
+        return r
 
 
 @partial(
@@ -43,34 +56,31 @@ class CGResult:
     converged: jax.Array  # bool
 
 
-def _identity(x):
-    return x
-
-
-@partial(jax.jit, static_argnames=("matvec", "precond", "maxiter", "dot"))
+@partial(jax.jit, static_argnames=("tol", "maxiter", "dot"))
 def cg_solve(
-    matvec: MatVec,
+    A: Any,
     b: jax.Array,
     x0: jax.Array,
     *,
-    precond: Optional[MatVec] = None,
+    precond: Any = None,
     tol: float = 1e-14,
     maxiter: int = 300,
     dot: Callable = jnp.vdot,
 ) -> CGResult:
     """Solve ``A x = b`` with (preconditioned) CG.
 
+    ``A``: pytree with ``.matvec(x)``.  ``precond``: callable pytree or None.
     ``tol`` is a *relative* residual tolerance ``||r||/||b||`` — the same
     convergence scaling Belos applies to the tolerance the reference passes
     (``BelosMueLuSolver.cpp:101-106``).  ``dot`` is injectable so the sharded
     path can supply a psum-reducing dot.
     """
-    M = precond if precond is not None else _identity
+    M = precond if precond is not None else IdentityPrecond()
     bnorm = jnp.sqrt(dot(b, b))
     bnorm = jnp.where(bnorm == 0, jnp.asarray(1.0, b.dtype), bnorm)
     target = jnp.asarray(tol, b.dtype) * bnorm
 
-    r0 = b - matvec(x0)
+    r0 = b - A.matvec(x0)
     z0 = M(r0)
     p0 = z0
     rz0 = dot(r0, z0)
@@ -82,7 +92,7 @@ def cg_solve(
 
     def body(state):
         x, r, p, rz, _, k = state
-        Ap = matvec(p)
+        Ap = A.matvec(p)
         alpha = rz / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
@@ -101,12 +111,24 @@ def cg_solve(
     )
 
 
+@partial(jax.jit, static_argnames=("dot",))
+def _cg_step(A, M, x, r, p, rz, dot=jnp.vdot):
+    Ap = A.matvec(p)
+    alpha = rz / dot(p, Ap)
+    x = x + alpha * p
+    r = r - alpha * Ap
+    z = M(r)
+    rz_new = dot(r, z)
+    p = z + rz_new / rz * p
+    return x, r, p, rz_new, jnp.sqrt(dot(r, r))
+
+
 def cg_solve_snapshots(
-    matvec: MatVec,
+    A: Any,
     b: jax.Array,
     x0: jax.Array,
     *,
-    precond: Optional[MatVec] = None,
+    precond: Any = None,
     tol: float = 1e-14,
     maxiter: int = 300,
     dot: Callable = jnp.vdot,
@@ -121,22 +143,10 @@ def cg_solve_snapshots(
     ``BelosMueLuSolver.cpp:113``).  The per-iteration step is a single jitted
     function; only the snapshot crosses to the host.
     """
-    M = precond if precond is not None else _identity
-
-    @jax.jit
-    def step(x, r, p, rz):
-        Ap = matvec(p)
-        alpha = rz / dot(p, Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = M(r)
-        rz_new = dot(r, z)
-        p = z + rz_new / rz * p
-        return x, r, p, rz_new, jnp.sqrt(dot(r, r))
-
+    M = precond if precond is not None else IdentityPrecond()
     bnorm = float(jnp.sqrt(dot(b, b)))
     bnorm = bnorm if bnorm != 0 else 1.0
-    r = b - matvec(x0)
+    r = b - A.matvec(x0)
     z = M(r)
     p = z
     rz = dot(r, z)
@@ -144,7 +154,7 @@ def cg_solve_snapshots(
     rnorm = float(jnp.sqrt(dot(r, r)))
     k = 0
     while rnorm / bnorm > tol and k < maxiter:
-        x, r, p, rz, rn = step(x, r, p, rz)
+        x, r, p, rz, rn = _cg_step(A, M, x, r, p, rz, dot=dot)
         rnorm = float(rn)
         k += 1
         if callback is not None:

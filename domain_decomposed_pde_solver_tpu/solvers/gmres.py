@@ -6,22 +6,23 @@ Gram-Schmidt Arnoldi and Givens rotations, expressed as fixed-shape
 ``lax.fori_loop``/``lax.while_loop`` programs: the Krylov basis is a static
 (m+1, n) array, so XLA compiles one program regardless of iteration counts.
 
-Orthogonalization dots become ``lax.psum`` reductions under the sharded dot
-(injectable, as in :mod:`.cg`).
+Operator/preconditioner are pytree arguments (see the API note in
+:mod:`.cg`); orthogonalization dots become ``lax.psum`` reductions under the
+sharded dot.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["GMRESResult", "gmres_solve"]
+from .cg import IdentityPrecond
 
-MatVec = Callable[[jax.Array], jax.Array]
+__all__ = ["GMRESResult", "gmres_solve"]
 
 
 @partial(
@@ -37,19 +38,13 @@ class GMRESResult:
     converged: jax.Array
 
 
-def _identity(x):
-    return x
-
-
-@partial(
-    jax.jit, static_argnames=("matvec", "precond", "restart", "maxiter", "dot")
-)
+@partial(jax.jit, static_argnames=("restart", "tol", "maxiter", "dot"))
 def gmres_solve(
-    matvec: MatVec,
+    A: Any,
     b: jax.Array,
     x0: jax.Array,
     *,
-    precond: Optional[MatVec] = None,  # right preconditioner M: solves y = M r
+    precond: Any = None,  # right preconditioner M (callable pytree)
     restart: int = 30,
     tol: float = 1e-14,
     maxiter: int = 300,
@@ -60,7 +55,7 @@ def gmres_solve(
     ``tol`` is relative (``||r||/||b||``), matching Belos' scaled residual
     test for the tolerance passed at ``BelosMueLuSolver.cpp:151``.
     """
-    M = precond if precond is not None else _identity
+    M = precond if precond is not None else IdentityPrecond()
     n = b.shape[0]
     m = restart
     dtype = b.dtype
@@ -73,7 +68,7 @@ def gmres_solve(
     def arnoldi_step(j, carry):
         V, H, cs, sn, g = carry
         # w = A M v_j
-        w = matvec(M(V[j]))
+        w = A.matvec(M(V[j]))
         # Modified Gram-Schmidt against v_0..v_j.
         def mgs(i, wh):
             w, h = wh
@@ -112,7 +107,7 @@ def gmres_solve(
 
     def restart_cycle(state):
         x, _, k, _ = state
-        r = b - matvec(x)
+        r = b - A.matvec(x)
         beta = jnp.sqrt(dot(r, r))
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(r / jnp.maximum(beta, eps))
@@ -161,13 +156,13 @@ def gmres_solve(
         _, rnorm, k, _ = state
         return jnp.logical_and(rnorm > target, k < maxiter)
 
-    r0 = b - matvec(x0)
+    r0 = b - A.matvec(x0)
     rnorm0 = jnp.sqrt(dot(r0, r0))
     x, rnorm, k, _ = jax.lax.while_loop(
         cond, restart_cycle, (x0, rnorm0, jnp.int32(0), rnorm0)
     )
     # Report the true residual, not the implicit one.
-    r = b - matvec(x)
+    r = b - A.matvec(x)
     rnorm = jnp.sqrt(dot(r, r))
     return GMRESResult(
         x=x, iterations=k, relres=rnorm / bnorm, converged=rnorm <= target

@@ -34,9 +34,9 @@ class PowerResult:
     converged: jax.Array
 
 
-@partial(jax.jit, static_argnames=("matvec", "maxiter", "check_every", "dot"))
+@partial(jax.jit, static_argnames=("maxiter", "tol", "check_every", "dot"))
 def power_method(
-    matvec: Callable[[jax.Array], jax.Array],
+    A,
     z0: jax.Array,
     *,
     maxiter: int = 500,
@@ -44,6 +44,8 @@ def power_method(
     check_every: int = 50,
     dot: Callable = jnp.vdot,
 ) -> PowerResult:
+    """``A``: pytree operator with ``.matvec(x)`` (see API note in cg.py)."""
+    matvec = A.matvec
     tol = jnp.asarray(tol, z0.dtype)
 
     def norm(v):

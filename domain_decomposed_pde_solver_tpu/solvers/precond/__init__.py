@@ -1,10 +1,28 @@
 """Preconditioners: Jacobi, Chebyshev, smoothed-aggregation AMG."""
 
-from .jacobi import jacobi_preconditioner
-from .chebyshev import chebyshev_preconditioner, estimate_lmax_dinv_a
+from .jacobi import DiagonalPreconditioner, jacobi_preconditioner
+from .chebyshev import (
+    ChebyshevPreconditioner,
+    chebyshev_preconditioner,
+    estimate_lmax_dinv_a,
+)
+from .wrappers import CastPreconditioner
+from .amg import (
+    AMGPreconditioner,
+    aggregate_greedy,
+    smoothed_aggregation_preconditioner,
+    smoothed_aggregation_setup,
+)
 
 __all__ = [
+    "DiagonalPreconditioner",
+    "ChebyshevPreconditioner",
+    "CastPreconditioner",
     "jacobi_preconditioner",
     "chebyshev_preconditioner",
     "estimate_lmax_dinv_a",
+    "AMGPreconditioner",
+    "aggregate_greedy",
+    "smoothed_aggregation_preconditioner",
+    "smoothed_aggregation_setup",
 ]

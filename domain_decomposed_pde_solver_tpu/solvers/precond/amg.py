@@ -1,0 +1,328 @@
+"""Smoothed-aggregation algebraic multigrid (SA-AMG) preconditioner.
+
+The component the reference *intended* to use: MueLu is linked but abandoned
+("MueLu crashes in Amesos' 'transpose' function, so we use IFPACK2 instead",
+``BelosMueLuSolver.cpp:11``).  Here SA-AMG is first-class and TPU-shaped:
+
+- **Setup on host** (NumPy/scipy.sparse, runs once): strength graph →
+  greedy aggregation → tentative prolongator → Jacobi-smoothed P →
+  Galerkin triple product ``A_c = R A P`` — the standard Vanek-Mandel-Brezina
+  construction.
+- **Apply on device** (pure JAX, jittable): V-cycle with Chebyshev/Jacobi
+  smoothers; every grid transfer and smoother application is an ELL SpMV,
+  so the whole cycle is a fixed sequence of bandwidth-bound kernels with
+  static shapes.  Level count is static — the recursion unrolls under jit.
+
+Used as the preconditioner inside :func:`..cg.cg_solve` ("CG+AMG", the
+BASELINE headline metric).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.csr import CSRMatrix
+from ...ops.ell import ELLMatrix, ell_from_csr, pad_to
+from ...ops.spmv import ell_spmv
+
+__all__ = [
+    "AMGLevel",
+    "AMGPreconditioner",
+    "smoothed_aggregation_setup",
+    "smoothed_aggregation_preconditioner",
+    "aggregate_greedy",
+]
+
+
+# ---------------------------------------------------------------------------
+# Host-side setup
+# ---------------------------------------------------------------------------
+
+
+def _to_scipy(A: CSRMatrix):
+    import scipy.sparse as sp
+
+    return sp.csr_matrix((A.data, A.indices, A.indptr), shape=A.shape)
+
+
+def _from_scipy(S) -> CSRMatrix:
+    S = S.tocsr()
+    S.sort_indices()
+    return CSRMatrix(
+        indptr=S.indptr.astype(np.int64),
+        indices=S.indices.astype(np.int64),
+        data=S.data.astype(np.float64),
+        shape=S.shape,
+    )
+
+
+def aggregate_greedy(A: CSRMatrix, theta: float = 0.0) -> np.ndarray:
+    """Standard greedy aggregation on the strength graph.
+
+    Returns ``agg[i]`` = aggregate id per node.  Three passes (Vanek et al.):
+    root aggregates over fully-free neighborhoods, attachment of leftovers to
+    adjacent aggregates, then singleton/new aggregates for stragglers.
+    ``theta`` filters weak couplings |a_ij| < theta*sqrt(a_ii a_jj).
+    """
+    n = A.n_rows
+    indptr, indices, data = A.indptr, A.indices, A.data
+    diag = A.diagonal()
+    agg = np.full(n, -1, dtype=np.int64)
+    # Strength filter mask per nonzero.
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    strong = (rows != indices) & (
+        np.abs(data) >= theta * np.sqrt(np.abs(diag[rows] * diag[indices]) + 1e-300)
+    )
+
+    # Native fast path: same three passes in C++
+    # (``native/ddps_native.cpp::aggregate_greedy``).
+    from ...utils.native import aggregate_greedy_native
+
+    s_counts = np.bincount(rows[strong], minlength=n)
+    s_indptr = np.concatenate([[0], np.cumsum(s_counts)]).astype(np.int64)
+    s_indices = indices[strong]
+    res = aggregate_greedy_native(s_indptr, s_indices, n)
+    if res is not None:
+        return res[0]
+
+    # Pass 1: roots with entirely unaggregated strong neighborhoods.
+    next_agg = 0
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        lo, hi = indptr[i], indptr[i + 1]
+        nbrs = indices[lo:hi][strong[lo:hi]]
+        if (agg[nbrs] == -1).all():
+            agg[i] = next_agg
+            agg[nbrs] = next_agg
+            next_agg += 1
+    # Pass 2: attach leftovers to a neighboring aggregate.
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        lo, hi = indptr[i], indptr[i + 1]
+        nbrs = indices[lo:hi][strong[lo:hi]]
+        assigned = nbrs[agg[nbrs] != -1]
+        if assigned.size:
+            agg[i] = agg[assigned[0]]
+    # Pass 3: new aggregates for isolated stragglers.
+    for i in range(n):
+        if agg[i] == -1:
+            agg[i] = next_agg
+            next_agg += 1
+    return agg
+
+
+def _lmax_dinv_a_host(S) -> float:
+    """Power-method estimate of lambda_max(D^-1 A) on the host CSR."""
+    import scipy.sparse as sp
+
+    d = S.diagonal()
+    d = np.where(d != 0, d, 1.0)
+    Dinv = sp.diags(1.0 / d)
+    M = Dinv @ S
+    rng = np.random.default_rng(0)
+    q = rng.uniform(size=S.shape[0])
+    lam = 1.0
+    for _ in range(30):
+        z = M @ q
+        nz = np.linalg.norm(z)
+        if nz == 0:
+            return 1.0
+        q = z / nz
+        lam = q @ (M @ q)
+    return float(abs(lam))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["A", "P", "R", "inv_diag"],
+    meta_fields=["lmax", "n_rows"],
+)
+@dataclasses.dataclass
+class AMGLevel:
+    A: ELLMatrix  # operator at this level (padded)
+    P: ELLMatrix  # prolongation: coarse -> this level
+    R: ELLMatrix  # restriction: this level -> coarse (P^T)
+    inv_diag: jax.Array  # 1/diag(A), padded with 1
+    lmax: float  # lambda_max(D^-1 A) for Chebyshev smoothing
+    n_rows: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "coarse_inv"],
+    meta_fields=["smoother", "smooth_steps", "cycles"],
+)
+@dataclasses.dataclass
+class AMGPreconditioner:
+    levels: List[AMGLevel]
+    coarse_inv: jax.Array  # dense inverse of the coarsest operator (padded)
+    smoother: str = "chebyshev"  # "chebyshev" | "jacobi"
+    smooth_steps: int = 2
+    cycles: int = 1  # V-cycles per apply
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels) + 1
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        x = self._vcycle(0, r)
+        for _ in range(self.cycles - 1):
+            x = x + self._vcycle(0, r - _apply_A(self.levels[0].A, x))
+        return x
+
+    # -- device-side V-cycle (unrolled: level count is static) ----------
+    def _smooth(self, lvl: AMGLevel, x, b):
+        if self.smoother == "jacobi":
+            omega = 2.0 / 3.0
+            for _ in range(self.smooth_steps):
+                x = x + omega * lvl.inv_diag * (b - _apply_A(lvl.A, x))
+            return x
+        # Chebyshev over [lmax/4, 1.1 lmax] of D^-1 A (standard SA range).
+        upper = 1.1 * lvl.lmax
+        lower = lvl.lmax / 4.0
+        theta = 0.5 * (upper + lower)
+        delta = 0.5 * (upper - lower)
+        d = (1.0 / theta) * (lvl.inv_diag * (b - _apply_A(lvl.A, x)))
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        for _ in range(self.smooth_steps):
+            x = x + d
+            res = lvl.inv_diag * (b - _apply_A(lvl.A, x))
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * res
+            rho = rho_new
+        return x + d
+
+    def _vcycle(self, k: int, b: jax.Array) -> jax.Array:
+        if k == len(self.levels):
+            return self.coarse_inv @ b
+        lvl = self.levels[k]
+        x = self._smooth(lvl, jnp.zeros_like(b), b)
+        r_c = ell_spmv(lvl.R, b - _apply_A(lvl.A, x))
+        x_c = self._vcycle(k + 1, r_c)
+        x = x + ell_spmv(lvl.P, x_c)
+        return self._smooth(lvl, x, b)
+
+
+def _apply_A(A: ELLMatrix, x):
+    return ell_spmv(A, x)
+
+
+def smoothed_aggregation_setup(
+    A: CSRMatrix,
+    dtype=jnp.float32,
+    theta: float = 0.0,
+    omega: float = 4.0 / 3.0,
+    max_levels: int = 10,
+    coarse_size: int = 64,
+    smoother: str = "chebyshev",
+    smooth_steps: int = 2,
+) -> AMGPreconditioner:
+    """Build the SA-AMG hierarchy from the host CSR operator.
+
+    Grid-transfer shapes are padded so that every level's vector length is a
+    multiple of 8 and P/R map padded->padded (padding slots carry zeros).
+    """
+    import scipy.sparse as sp
+
+    levels: List[AMGLevel] = []
+    A_k = _to_scipy(A)
+    n_pads = [pad_to(max(A.n_rows, 1))]
+
+    while A_k.shape[0] > coarse_size and len(levels) < max_levels - 1:
+        csr_k = _from_scipy(A_k)
+        agg = aggregate_greedy(csr_k, theta=theta)
+        n_c = int(agg.max()) + 1 if agg.size else 0
+        if n_c >= A_k.shape[0] or n_c == 0:
+            break  # aggregation stalled
+        # Tentative prolongator (normalized piecewise-constant).
+        counts = np.bincount(agg, minlength=n_c).astype(np.float64)
+        T = sp.csr_matrix(
+            (1.0 / np.sqrt(counts[agg]), (np.arange(A_k.shape[0]), agg)),
+            shape=(A_k.shape[0], n_c),
+        )
+        # Smooth: P = (I - omega D^-1 A) T.
+        d = A_k.diagonal()
+        d = np.where(d != 0, d, 1.0)
+        lmax = _lmax_dinv_a_host(A_k)
+        Dinv = sp.diags(1.0 / d)
+        P = T - (omega / lmax) * (Dinv @ (A_k @ T))
+        R = P.T.tocsr()
+        A_c = (R @ (A_k @ P)).tocsr()
+        A_c.sum_duplicates()
+
+        n_pad_f = n_pads[-1]
+        n_pad_c = pad_to(max(n_c, 1))
+        lvl_A = ell_from_csr(csr_k, dtype=dtype)
+        # Pad transfer operators to (n_pad_f x n_pad_c) shapes.
+        P_csr = _from_scipy(P)
+        R_csr = _from_scipy(R)
+        lvl = AMGLevel(
+            A=_repad(lvl_A, n_pad_f),
+            P=_repad(ell_from_csr(P_csr, dtype=dtype), n_pad_f),
+            R=_repad(ell_from_csr(R_csr, dtype=dtype), n_pad_c),
+            inv_diag=_inv_diag_padded(csr_k, n_pad_f, dtype),
+            lmax=float(lmax),
+            n_rows=A_k.shape[0],
+        )
+        levels.append(lvl)
+        A_k = A_c
+        n_pads.append(n_pad_c)
+
+    # Dense coarse solve, padded with identity outside the logical block.
+    nc = A_k.shape[0]
+    n_pad_c = n_pads[-1]
+    dense = np.eye(n_pad_c)
+    dense[:nc, :nc] = A_k.toarray()
+    coarse_inv = jnp.asarray(np.linalg.inv(dense).astype(np.dtype(dtype)))
+    return AMGPreconditioner(
+        levels=levels,
+        coarse_inv=coarse_inv,
+        smoother=smoother,
+        smooth_steps=smooth_steps,
+    )
+
+
+def _repad(A: ELLMatrix, n_pad: int) -> ELLMatrix:
+    """Grow the row padding of an ELL matrix to exactly n_pad rows."""
+    cur = A.n_pad
+    if cur == n_pad:
+        return A
+    assert n_pad > cur
+    cols = jnp.zeros((n_pad, A.row_width), dtype=A.cols.dtype)
+    vals = jnp.zeros((n_pad, A.row_width), dtype=A.vals.dtype)
+    cols = cols.at[:cur].set(A.cols)
+    vals = vals.at[:cur].set(A.vals)
+    return ELLMatrix(cols=cols, vals=vals, n_rows=A.n_rows, n_cols=A.n_cols)
+
+
+def _inv_diag_padded(A: CSRMatrix, n_pad: int, dtype) -> jax.Array:
+    d = A.diagonal()
+    d = np.where(d != 0, d, 1.0)
+    out = np.ones(n_pad, dtype=np.dtype(dtype))
+    out[: d.size] = (1.0 / d).astype(np.dtype(dtype))
+    return jnp.asarray(out)
+
+
+def smoothed_aggregation_preconditioner(A_ell: ELLMatrix, **kwargs):
+    """Convenience: build SA-AMG directly from a device ELL operator by
+    reconstructing the host CSR (used by the CLI; prefer passing the CSR)."""
+    cols = np.asarray(A_ell.cols)
+    vals = np.asarray(A_ell.vals)
+    n = A_ell.n_rows
+    rows = np.repeat(np.arange(cols.shape[0]), cols.shape[1])
+    mask = vals.reshape(-1) != 0
+    rows, cc, vv = rows[mask], cols.reshape(-1)[mask], vals.reshape(-1)[mask]
+    keep = rows < n
+    from ...ops.csr import coo_to_csr
+
+    csr = coo_to_csr(rows[keep], cc[keep], vv[keep].astype(np.float64), (n, n))
+    return smoothed_aggregation_setup(csr, dtype=A_ell.dtype, **kwargs)

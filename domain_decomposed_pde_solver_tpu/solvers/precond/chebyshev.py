@@ -8,11 +8,13 @@ the smoother inside the AMG V-cycle (:mod:`.amg`), which is the role MueLu's
 Chebyshev smoother was meant to play in the reference.
 
 Targets the upper eigenvalue spectrum [lmax/ratio, lmax] of D^-1 A, the
-standard smoothed-aggregation configuration.
+standard smoothed-aggregation configuration.  Implemented as a callable
+pytree (see the API note in :mod:`..cg`).
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Callable
 
@@ -20,11 +22,15 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.ell import ELLMatrix
-from ...ops.spmv import ell_spmv
 
-__all__ = ["chebyshev_preconditioner", "estimate_lmax_dinv_a"]
+__all__ = [
+    "ChebyshevPreconditioner",
+    "chebyshev_preconditioner",
+    "estimate_lmax_dinv_a",
+]
 
 
+@partial(jax.jit, static_argnames=("iters", "dot"))
 def estimate_lmax_dinv_a(
     A: ELLMatrix, iters: int = 20, seed: int = 0, dot: Callable = jnp.vdot
 ) -> jax.Array:
@@ -38,12 +44,47 @@ def estimate_lmax_dinv_a(
     q = q * mask
 
     def body(_, q):
-        z = inv_diag * ell_spmv(A, q)
+        z = inv_diag * A.matvec(q)
         return z / jnp.maximum(jnp.sqrt(dot(z, z)), 1e-30)
 
     q = jax.lax.fori_loop(0, iters, body, q)
-    z = inv_diag * ell_spmv(A, q)
+    z = inv_diag * A.matvec(q)
     return dot(q, z)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["A", "inv_diag", "lmax"],
+    meta_fields=["degree", "eig_ratio"],
+)
+@dataclasses.dataclass
+class ChebyshevPreconditioner:
+    """``M(r) ~ A^{-1} r`` via a degree-k Chebyshev polynomial in D^-1 A
+    over [lmax/eig_ratio, 1.1*lmax] (classic three-term recurrence,
+    x0 = 0)."""
+
+    A: ELLMatrix
+    inv_diag: jax.Array
+    lmax: jax.Array
+    degree: int = 4
+    eig_ratio: float = 30.0
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        upper = 1.1 * self.lmax
+        lower = self.lmax / self.eig_ratio
+        theta = 0.5 * (upper + lower)
+        delta = 0.5 * (upper - lower)
+        z = jnp.zeros_like(r)
+        d = (1.0 / theta) * (self.inv_diag * r)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        for _ in range(self.degree):
+            z = z + d
+            res = self.inv_diag * (r - self.A.matvec(z))
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * res
+            rho = rho_new
+        return z + d
 
 
 def chebyshev_preconditioner(
@@ -51,28 +92,11 @@ def chebyshev_preconditioner(
     lmax: float | jax.Array,
     degree: int = 4,
     eig_ratio: float = 30.0,
-):
-    """Return ``M(r) ~ A^{-1} r`` via a degree-k Chebyshev polynomial in
-    D^-1 A over [lmax/eig_ratio, lmax * 1.1] (fourth-kind-free classic
-    three-term recurrence on the residual equation with x0 = 0)."""
-    inv_diag = 1.0 / A.diagonal_padded(fill=1.0)
-    upper = 1.1 * lmax
-    lower = lmax / eig_ratio
-    theta = 0.5 * (upper + lower)
-    delta = 0.5 * (upper - lower)
-
-    def apply(r: jax.Array) -> jax.Array:
-        # Solves A z ~= r, z starts at 0; classic Chebyshev iteration.
-        z = jnp.zeros_like(r)
-        d = (1.0 / theta) * (inv_diag * r)
-        sigma = theta / delta
-        rho = 1.0 / sigma
-        for _ in range(degree):
-            z = z + d
-            res = inv_diag * (r - ell_spmv(A, z))
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            d = rho_new * rho * d + (2.0 * rho_new / delta) * res
-            rho = rho_new
-        return z + d
-
-    return apply
+) -> ChebyshevPreconditioner:
+    return ChebyshevPreconditioner(
+        A=A,
+        inv_diag=1.0 / A.diagonal_padded(fill=1.0),
+        lmax=jnp.asarray(lmax, A.dtype),
+        degree=degree,
+        eig_ratio=eig_ratio,
+    )

@@ -1,0 +1,175 @@
+"""ctypes loader for the native host kernels (``native/ddps_native.cpp``).
+
+The reference's host pipeline is C++; ours is too where it's hot: adjacency
+construction, dual-graph build, AMG aggregation, RCM ordering, ELL packing.
+The library is compiled on demand with g++ (cached next to the source) and
+every entry point has a NumPy fallback, so the framework works without a
+toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["load_native", "native_available"]
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_SRC = pathlib.Path(__file__).resolve().parents[2] / "native" / "ddps_native.cpp"
+_SO = _SRC.with_name("libddps_native.so")
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_i64 = ctypes.c_int64
+
+
+def _compile() -> bool:
+    if not _SRC.exists():
+        return False
+    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                "-o", str(_SO), str(_SRC),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Compile (if needed) and load the native library; None on failure."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("DDPS_NO_NATIVE"):
+            return None
+        if not _compile():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            return None
+        lib.node_adjacency.restype = _i64
+        lib.node_adjacency.argtypes = [_i64p, _i64, _i64, _i64, _i64p, ctypes.c_void_p]
+        lib.dual_graph.restype = _i64
+        lib.dual_graph.argtypes = [_i64p, _i64, _i64, _i64, _i64, _i64p, ctypes.c_void_p]
+        lib.aggregate_greedy.restype = _i64
+        lib.aggregate_greedy.argtypes = [_i64p, _i64p, _i64, _i64p]
+        lib.rcm_order.restype = None
+        lib.rcm_order.argtypes = [_i64p, _i64p, _i64, _i64p]
+        lib.pack_ell_f32.restype = None
+        lib.pack_ell_f32.argtypes = [_i64p, _i64p, _f64p, _i64, _i64, _i64, _i32p, _f32p]
+        lib.pack_ell_f64.restype = None
+        lib.pack_ell_f64.argtypes = [_i64p, _i64p, _f64p, _i64, _i64, _i64, _i32p, _f64p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return load_native() is not None
+
+
+# ---------------------------------------------------------------------------
+# High-level wrappers (native with NumPy semantics)
+# ---------------------------------------------------------------------------
+
+
+def node_adjacency_native(conn: np.ndarray, n: int):
+    """Deduplicated directed node adjacency as (indptr, indices); None if the
+    native library is unavailable.  ``conn``: (num_elem, npe) int64."""
+    lib = load_native()
+    if lib is None:
+        return None
+    conn = np.ascontiguousarray(conn, dtype=np.int64)
+    num_elem, npe = conn.shape
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    nnz = lib.node_adjacency(conn, num_elem, npe, n, indptr, None)
+    indices = np.zeros(nnz, dtype=np.int64)
+    lib.node_adjacency(
+        conn, num_elem, npe, n, indptr, indices.ctypes.data_as(ctypes.c_void_p)
+    )
+    return indptr, indices
+
+
+def dual_graph_native(conn: np.ndarray, n: int, ncommon: int):
+    lib = load_native()
+    if lib is None:
+        return None
+    conn = np.ascontiguousarray(conn, dtype=np.int64)
+    num_elem, npe = conn.shape
+    indptr = np.zeros(num_elem + 1, dtype=np.int64)
+    nnz = lib.dual_graph(conn, num_elem, npe, n, ncommon, indptr, None)
+    indices = np.zeros(nnz, dtype=np.int64)
+    lib.dual_graph(
+        conn, num_elem, npe, n, ncommon, indptr,
+        indices.ctypes.data_as(ctypes.c_void_p),
+    )
+    return indptr, indices
+
+
+def aggregate_greedy_native(indptr: np.ndarray, indices: np.ndarray, n: int):
+    lib = load_native()
+    if lib is None:
+        return None
+    agg = np.zeros(n, dtype=np.int64)
+    n_agg = lib.aggregate_greedy(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int64),
+        n,
+        agg,
+    )
+    return agg, int(n_agg)
+
+
+def rcm_order_native(indptr: np.ndarray, indices: np.ndarray, n: int):
+    lib = load_native()
+    if lib is None:
+        return None
+    perm = np.zeros(n, dtype=np.int64)
+    lib.rcm_order(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int64),
+        n,
+        perm,
+    )
+    return perm
+
+
+def pack_ell_native(indptr, indices, data, n, n_pad, K, dtype):
+    lib = load_native()
+    if lib is None:
+        return None
+    cols = np.zeros((n_pad, K), dtype=np.int32)
+    dt = np.dtype(dtype)
+    data = np.ascontiguousarray(data, np.float64)
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    if dt == np.float32:
+        vals = np.zeros((n_pad, K), dtype=np.float32)
+        lib.pack_ell_f32(indptr, indices, data, n, n_pad, K, cols, vals)
+    elif dt == np.float64:
+        vals = np.zeros((n_pad, K), dtype=np.float64)
+        lib.pack_ell_f64(indptr, indices, data, n, n_pad, K, cols, vals)
+    else:
+        return None
+    return cols, vals

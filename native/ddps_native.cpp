@@ -1,0 +1,233 @@
+// Native host-side mesh/graph kernels for the TPU PDE framework.
+//
+// The reference implements its entire host pipeline in C++ (ExodusIO.hpp's
+// adjacency construction :317-386, dual-graph partitioning input :880-918,
+// ghost resolution :1121-1384).  Here the equivalent hot paths are native
+// too, exposed through a C ABI consumed via ctypes (no pybind11 in the
+// image); the Python layer falls back to vectorized NumPy when the shared
+// library is unavailable.
+//
+// All kernels are deterministic and single-threaded-stable: results are
+// sorted CSR structures independent of thread count (parallel sections only
+// partition work by row).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libddps_native.so ddps_native.cpp
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Node adjacency from element connectivity (deduplicated directed edges).
+//
+// Equivalent computation to ExodusIO.hpp:342-378's per-element double loop
+// inserting into std::map<idx_t, std::set<idx_t>> — but via a two-pass
+// node->element incidence CSR and per-node small-array dedup: O(n * d log d)
+// time, O(nnz) memory, no hash tables.
+//
+// conn: (num_elem, nodes_per_elem) int64 (0-based), possibly several blocks
+//       concatenated by the caller with uniform npe per call.
+// Returns the edge count; fills indptr (n+1) and, on the second call with
+// the same inputs plus an `indices` buffer of size indptr[n], the column
+// indices (sorted within each row).
+// ---------------------------------------------------------------------------
+static void build_node_elem_csr(const int64_t* conn, int64_t num_elem,
+                                int64_t npe, int64_t n,
+                                std::vector<int64_t>& ne_ptr,
+                                std::vector<int64_t>& ne_elems) {
+  ne_ptr.assign(n + 1, 0);
+  const int64_t total = num_elem * npe;
+  for (int64_t i = 0; i < total; ++i) ne_ptr[conn[i] + 1]++;
+  for (int64_t i = 0; i < n; ++i) ne_ptr[i + 1] += ne_ptr[i];
+  ne_elems.resize(total);
+  std::vector<int64_t> cursor(ne_ptr.begin(), ne_ptr.end() - 1);
+  for (int64_t e = 0; e < num_elem; ++e)
+    for (int64_t k = 0; k < npe; ++k)
+      ne_elems[cursor[conn[e * npe + k]]++] = e;
+}
+
+int64_t node_adjacency(const int64_t* conn, int64_t num_elem, int64_t npe,
+                       int64_t n, int64_t* indptr /* n+1, out */,
+                       int64_t* indices /* nullable; out */) {
+  std::vector<int64_t> ne_ptr, ne_elems;
+  build_node_elem_csr(conn, num_elem, npe, n, ne_ptr, ne_elems);
+
+  std::vector<int64_t> scratch;
+  int64_t nnz = 0;
+  indptr[0] = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    scratch.clear();
+    for (int64_t p = ne_ptr[v]; p < ne_ptr[v + 1]; ++p) {
+      const int64_t* elem = conn + ne_elems[p] * npe;
+      for (int64_t k = 0; k < npe; ++k)
+        if (elem[k] != v) scratch.push_back(elem[k]);
+    }
+    std::sort(scratch.begin(), scratch.end());
+    scratch.erase(std::unique(scratch.begin(), scratch.end()), scratch.end());
+    if (indices)
+      std::memcpy(indices + nnz, scratch.data(),
+                  scratch.size() * sizeof(int64_t));
+    nnz += static_cast<int64_t>(scratch.size());
+    indptr[v + 1] = nnz;
+  }
+  return nnz;
+}
+
+// ---------------------------------------------------------------------------
+// Element dual graph: elements adjacent iff sharing >= ncommon nodes
+// (the METIS_PartMeshDual / ParMETIS_V3_PartMeshKway input rule,
+// ExodusIO.hpp:909-918).  Same incidence-CSR scheme, counting element-pair
+// multiplicities per row with a sort.
+// ---------------------------------------------------------------------------
+int64_t dual_graph(const int64_t* conn, int64_t num_elem, int64_t npe,
+                   int64_t n, int64_t ncommon, int64_t* indptr /* ne+1 */,
+                   int64_t* indices /* nullable */) {
+  std::vector<int64_t> ne_ptr, ne_elems;
+  build_node_elem_csr(conn, num_elem, npe, n, ne_ptr, ne_elems);
+
+  std::vector<int64_t> cand;
+  int64_t nnz = 0;
+  indptr[0] = 0;
+  for (int64_t e = 0; e < num_elem; ++e) {
+    cand.clear();
+    const int64_t* elem = conn + e * npe;
+    for (int64_t k = 0; k < npe; ++k) {
+      const int64_t v = elem[k];
+      for (int64_t p = ne_ptr[v]; p < ne_ptr[v + 1]; ++p)
+        if (ne_elems[p] != e) cand.push_back(ne_elems[p]);
+    }
+    std::sort(cand.begin(), cand.end());
+    // Count multiplicity runs; keep those >= ncommon.
+    int64_t row_nnz = 0;
+    for (size_t i = 0; i < cand.size();) {
+      size_t j = i;
+      while (j < cand.size() && cand[j] == cand[i]) ++j;
+      if (static_cast<int64_t>(j - i) >= ncommon) {
+        if (indices) indices[nnz + row_nnz] = cand[i];
+        ++row_nnz;
+      }
+      i = j;
+    }
+    nnz += row_nnz;
+    indptr[e + 1] = nnz;
+  }
+  return nnz;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy aggregation for smoothed-aggregation AMG (Vanek passes 1-3) —
+// the setup hot loop (solvers/precond/amg.py:aggregate_greedy), native.
+// strength filtering is applied by the caller (indices = strong neighbors).
+// ---------------------------------------------------------------------------
+int64_t aggregate_greedy(const int64_t* indptr, const int64_t* indices,
+                         int64_t n, int64_t* agg /* out, n */) {
+  std::fill(agg, agg + n, int64_t(-1));
+  int64_t next = 0;
+  // Pass 1: roots whose whole neighborhood is unaggregated.
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    bool free_nbhd = true;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (agg[indices[p]] != -1) { free_nbhd = false; break; }
+    if (free_nbhd) {
+      agg[i] = next;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+        agg[indices[p]] = next;
+      ++next;
+    }
+  }
+  // Pass 2: attach stragglers to the first aggregated neighbor.
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (agg[indices[p]] != -1) { agg[i] = agg[indices[p]]; break; }
+  }
+  // Pass 3: isolated nodes become singletons.
+  for (int64_t i = 0; i < n; ++i)
+    if (agg[i] == -1) agg[i] = next++;
+  return next;  // number of aggregates
+}
+
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering — bandwidth reduction for SpMV locality
+// (improves ELL gather locality on TPU; no analogue in the reference, which
+// relies on ParMETIS for locality).
+// perm[out]: new position -> old index.
+// ---------------------------------------------------------------------------
+void rcm_order(const int64_t* indptr, const int64_t* indices, int64_t n,
+               int64_t* perm) {
+  std::vector<int64_t> degree(n);
+  for (int64_t i = 0; i < n; ++i) degree[i] = indptr[i + 1] - indptr[i];
+  std::vector<char> visited(n, 0);
+  std::vector<int64_t> order;
+  order.reserve(n);
+  std::vector<int64_t> frontier, next, nbrs;
+  for (int64_t seed_scan = 0; seed_scan < n;) {
+    // Next unvisited min-degree seed.
+    int64_t seed = -1, best = INT64_MAX;
+    for (int64_t i = 0; i < n; ++i)
+      if (!visited[i] && degree[i] < best) { best = degree[i]; seed = i; }
+    if (seed < 0) break;
+    visited[seed] = 1;
+    order.push_back(seed);
+    frontier.assign(1, seed);
+    while (!frontier.empty()) {
+      next.clear();
+      for (int64_t v : frontier) {
+        nbrs.clear();
+        for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p)
+          if (!visited[indices[p]]) nbrs.push_back(indices[p]);
+        std::sort(nbrs.begin(), nbrs.end(), [&](int64_t a, int64_t b) {
+          return degree[a] != degree[b] ? degree[a] < degree[b] : a < b;
+        });
+        for (int64_t u : nbrs)
+          if (!visited[u]) {
+            visited[u] = 1;
+            order.push_back(u);
+            next.push_back(u);
+          }
+      }
+      frontier.swap(next);
+    }
+    seed_scan = static_cast<int64_t>(order.size());
+  }
+  // Reverse for RCM.
+  for (int64_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
+}
+
+// ---------------------------------------------------------------------------
+// ELL packing: scatter CSR rows into a padded (n_pad, K) layout in one pass
+// (ops/ell.py:ell_from_csr inner loop, native).
+// cols_out int32 (n_pad*K), vals_out float32/float64 selected by f64 flag.
+// ---------------------------------------------------------------------------
+void pack_ell_f32(const int64_t* indptr, const int64_t* indices,
+                  const double* data, int64_t n, int64_t n_pad, int64_t K,
+                  int32_t* cols_out, float* vals_out) {
+  std::memset(cols_out, 0, sizeof(int32_t) * n_pad * K);
+  std::memset(vals_out, 0, sizeof(float) * n_pad * K);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t w = 0;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p, ++w) {
+      cols_out[i * K + w] = static_cast<int32_t>(indices[p]);
+      vals_out[i * K + w] = static_cast<float>(data[p]);
+    }
+  }
+}
+
+void pack_ell_f64(const int64_t* indptr, const int64_t* indices,
+                  const double* data, int64_t n, int64_t n_pad, int64_t K,
+                  int32_t* cols_out, double* vals_out) {
+  std::memset(cols_out, 0, sizeof(int32_t) * n_pad * K);
+  std::memset(vals_out, 0, sizeof(double) * n_pad * K);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t w = 0;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p, ++w) {
+      cols_out[i * K + w] = static_cast<int32_t>(indices[p]);
+      vals_out[i * K + w] = data[p];
+    }
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,91 @@
+"""Smoothed-aggregation AMG tests (the CG+AMG north-star path)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from domain_decomposed_pde_solver_tpu.io import read_exodus
+from domain_decomposed_pde_solver_tpu.io.boxmesh import box_mesh
+from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+from domain_decomposed_pde_solver_tpu.ops import ell_from_csr, ell_spmv, pad_vector, unpad_vector
+from domain_decomposed_pde_solver_tpu.solvers import (
+    cg_solve,
+    jacobi_preconditioner,
+    smoothed_aggregation_setup,
+)
+from domain_decomposed_pde_solver_tpu.solvers.precond.amg import aggregate_greedy
+
+
+def test_aggregation_covers_all_nodes(data_dir):
+    mesh = read_exodus(str(data_dir / "brick.exo"))
+    sys_ = assemble_heat_system(mesh)
+    agg = aggregate_greedy(sys_.A)
+    assert agg.min() >= 0
+    n_agg = agg.max() + 1
+    # Aggressive coarsening: aggregates average >= 4 nodes on a tet mesh.
+    assert n_agg * 4 <= sys_.A.n_rows
+    # Every aggregate nonempty.
+    assert (np.bincount(agg, minlength=n_agg) > 0).all()
+
+
+def test_amg_hierarchy_shrinks(data_dir):
+    mesh = read_exodus(str(data_dir / "brick.exo"))
+    sys_ = assemble_heat_system(mesh)
+    M = smoothed_aggregation_setup(sys_.A, dtype=jnp.float64)
+    sizes = [l.n_rows for l in M.levels]
+    assert all(a > b * 2 for a, b in zip(sizes, sizes[1:] + [M.coarse_inv.shape[0] // 2]))
+
+
+def test_amg_cg_beats_jacobi_and_matches_dense(data_dir):
+    mesh = read_exodus(str(data_dir / "brick.exo"))
+    sys_ = assemble_heat_system(mesh)
+    A = ell_from_csr(sys_.A, dtype=jnp.float64)
+    b = pad_vector(sys_.b, A.n_pad)
+    M = smoothed_aggregation_setup(sys_.A, dtype=jnp.float64)
+    res_j = cg_solve(A, b, jnp.zeros_like(b), precond=jacobi_preconditioner(A),
+                     tol=1e-10, maxiter=3000)
+    res_a = cg_solve(A, b, jnp.zeros_like(b), precond=M,
+                     tol=1e-10, maxiter=300)
+    assert bool(res_a.converged)
+    assert int(res_a.iterations) < int(res_j.iterations) // 3
+    x = unpad_vector(res_a.x, sys_.n_free)
+    xd = np.linalg.solve(sys_.A.to_dense(), sys_.b)
+    assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-8
+
+
+def test_amg_scalable_iteration_count():
+    """AMG iteration counts must stay ~flat as the mesh refines (the whole
+    point of multigrid; Jacobi degrades with h)."""
+    iters = []
+    for n in (10, 20):
+        mesh = box_mesh(n, n, n, elem_type="TETRA4")
+        sys_ = assemble_heat_system(mesh)
+        A = ell_from_csr(sys_.A, dtype=jnp.float64)
+        b = pad_vector(sys_.b, A.n_pad)
+        M = smoothed_aggregation_setup(sys_.A, dtype=jnp.float64)
+        res = cg_solve(A, b, jnp.zeros_like(b),
+                       precond=M, tol=1e-10, maxiter=300)
+        assert bool(res.converged)
+        iters.append(int(res.iterations))
+    assert iters[1] <= iters[0] + 6  # near-constant across 8x DOF growth
+
+
+def test_amg_f32_preconditioner_f64_cg(data_dir):
+    """Mixed precision: f32 V-cycle preconditioning an f64 CG still converges
+    to f64 accuracy (preconditioner quality, not accuracy, is what matters)."""
+    mesh = read_exodus(str(data_dir / "brick.exo"))
+    sys_ = assemble_heat_system(mesh)
+    A = ell_from_csr(sys_.A, dtype=jnp.float64)
+    b = pad_vector(sys_.b, A.n_pad)
+    from domain_decomposed_pde_solver_tpu.solvers.precond.wrappers import (
+        CastPreconditioner,
+    )
+
+    M32 = smoothed_aggregation_setup(sys_.A, dtype=jnp.float32)
+    M = CastPreconditioner(inner=M32, dtype=jnp.float32)
+    res = cg_solve(A, b, jnp.zeros_like(b),
+                   precond=M, tol=1e-10, maxiter=300)
+    assert bool(res.converged)
+    x = unpad_vector(res.x, sys_.n_free)
+    xd = np.linalg.solve(sys_.A.to_dense(), sys_.b)
+    assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-8

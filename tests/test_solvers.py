@@ -32,8 +32,7 @@ def setup_system(data_dir, name, dtype=jnp.float64):
 @pytest.mark.parametrize("name", ["rectangle-tris-boundary.exo", "brick.exo"])
 def test_cg_matches_dense_solve(data_dir, name):
     _, sys_, A, b = setup_system(data_dir, name)
-    mv = lambda x: ell_spmv(A, x)
-    res = cg_solve(mv, b, jnp.zeros_like(b), precond=jacobi_preconditioner(A),
+    res = cg_solve(A, b, jnp.zeros_like(b), precond=jacobi_preconditioner(A),
                    tol=1e-13, maxiter=2000)
     assert bool(res.converged)
     x = unpad_vector(res.x, sys_.n_free)
@@ -45,8 +44,7 @@ def test_cg_matches_dense_solve(data_dir, name):
 @pytest.mark.parametrize("name", ["rectangle-tris-boundary.exo", "brick.exo"])
 def test_gmres_matches_dense_solve(data_dir, name):
     _, sys_, A, b = setup_system(data_dir, name)
-    mv = lambda x: ell_spmv(A, x)
-    res = gmres_solve(mv, b, jnp.zeros_like(b), precond=jacobi_preconditioner(A),
+    res = gmres_solve(A, b, jnp.zeros_like(b), precond=jacobi_preconditioner(A),
                       restart=40, tol=1e-13, maxiter=3000)
     assert bool(res.converged)
     x = unpad_vector(res.x, sys_.n_free)
@@ -66,7 +64,7 @@ def test_gmres_nonsymmetric():
     A = ell_from_csr(csr, dtype=jnp.float64)
     b_np = rng.standard_normal(n)
     b = pad_vector(b_np, A.n_pad)
-    res = gmres_solve(lambda x: ell_spmv(A, x), b, jnp.zeros_like(b),
+    res = gmres_solve(A, b, jnp.zeros_like(b),
                       restart=20, tol=1e-12, maxiter=500)
     assert bool(res.converged)
     np.testing.assert_allclose(
@@ -76,10 +74,9 @@ def test_gmres_nonsymmetric():
 
 def test_cg_snapshots_converges_and_calls_back(data_dir):
     _, sys_, A, b = setup_system(data_dir, "rectangle-tris-boundary.exo")
-    mv = lambda x: ell_spmv(A, x)
     seen = []
     res = cg_solve_snapshots(
-        mv, b, jnp.zeros_like(b), precond=jacobi_preconditioner(A),
+        A, b, jnp.zeros_like(b), precond=jacobi_preconditioner(A),
         tol=1e-13, maxiter=300, callback=lambda k, x, rr: seen.append((k, rr)),
     )
     assert bool(res.converged)
@@ -90,12 +87,11 @@ def test_cg_snapshots_converges_and_calls_back(data_dir):
 
 def test_chebyshev_preconditioner_accelerates(data_dir):
     _, sys_, A, b = setup_system(data_dir, "brick.exo")
-    mv = lambda x: ell_spmv(A, x)
     lmax = estimate_lmax_dinv_a(A, iters=30)
     cheb = chebyshev_preconditioner(A, lmax, degree=4)
-    res_j = cg_solve(mv, b, jnp.zeros_like(b), precond=jacobi_preconditioner(A),
+    res_j = cg_solve(A, b, jnp.zeros_like(b), precond=jacobi_preconditioner(A),
                      tol=1e-10, maxiter=2000)
-    res_c = cg_solve(mv, b, jnp.zeros_like(b), precond=cheb, tol=1e-10, maxiter=2000)
+    res_c = cg_solve(A, b, jnp.zeros_like(b), precond=cheb, tol=1e-10, maxiter=2000)
     assert bool(res_c.converged)
     assert int(res_c.iterations) < int(res_j.iterations)
     x = unpad_vector(res_c.x, sys_.n_free)
@@ -108,7 +104,7 @@ def test_power_method_matches_numpy_eig(data_dir):
     L = assemble_full_laplacian(mesh)
     A = ell_from_csr(L, dtype=jnp.float64)
     z0 = pad_vector(np.random.default_rng(0).uniform(size=L.n_rows), A.n_pad)
-    res = power_method(lambda x: ell_spmv(A, x), z0, maxiter=5000, tol=1e-8,
+    res = power_method(A, z0, maxiter=5000, tol=1e-8,
                        check_every=10)
     lam_true = np.linalg.eigvalsh(L.to_dense()).max()
     # Symmetric operator: the Rayleigh quotient is within the residual norm
