@@ -41,19 +41,54 @@ def roofline_for(device) -> float:
     return 819.0
 
 
-def time_fn(fn, *args, iters=50, warmup=5, reps=3):
-    """Best-of-reps average; robust to transient device contention."""
-    import jax
+def _sync(out):
+    """Force completion via a host fetch — ``block_until_ready`` alone has
+    been observed not to fence remote (tunneled) device execution here."""
+    import jax.numpy as jnp
+    import numpy as np
 
+    return float(np.asarray(jnp.ravel(out)[0]))
+
+
+def time_fn(fn, *args, iters=50, warmup=5, reps=3):
+    """Best-of-reps average, host-fetch synced."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def time_spmv_loop(A, x, iters=64, reps=3):
+    """Time SpMV via a value-chained in-program loop: each iteration feeds
+    the next, so neither XLA nor the async runtime can overlap or elide
+    work.  Values are rescaled each step to stay finite in f32."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial as _partial
+
+    from domain_decomposed_pde_solver_tpu.ops import ell_spmv
+
+    @_partial(jax.jit, static_argnames=("k",))
+    def loop(A, x, k):
+        scale = jnp.asarray(0.02, x.dtype)  # < 1/(2*max_degree)
+
+        def body(i, v):
+            return ell_spmv(A, v) * scale
+
+        return jax.lax.fori_loop(0, k, body, x)
+
+    _sync(loop(A, x, iters))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(loop(A, x, iters))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -79,7 +114,6 @@ def main():
     # NOTE: operators are always passed as jit *arguments* (pytrees) — this
     # platform permanently degrades if a jit ever embeds large constants
     # (closure capture), see solvers/cg.py API note.
-    spmv = jax.jit(ell_spmv)
 
     # --- SpMV bandwidth on tet-cube-heat (headline) ---------------------
     mesh = read_exodus(TET_CUBE)
@@ -89,7 +123,7 @@ def main():
         np.random.default_rng(0).standard_normal(A.n_pad).astype(np.float32),
         A.n_pad,
     )
-    dt = time_fn(spmv, A, x, iters=100, warmup=10)
+    dt = time_spmv_loop(A, x, iters=128)
     gbps = spmv_bytes(A) / dt / 1e9
     extra["spmv_us_tet_cube"] = dt * 1e6
     extra["spmv_gbps_tet_cube"] = gbps
@@ -103,7 +137,7 @@ def main():
         np.random.default_rng(0).standard_normal(A1m.n_pad).astype(np.float32),
         A1m.n_pad,
     )
-    dt1m = time_fn(spmv, A1m, x1m, iters=50, warmup=5)
+    dt1m = time_spmv_loop(A1m, x1m, iters=32)
     gbps1m = spmv_bytes(A1m) / dt1m / 1e9
     extra["spmv_us_box1m"] = dt1m * 1e6
     extra["spmv_gbps_box1m"] = gbps1m
@@ -118,10 +152,10 @@ def main():
         A, bs, jnp.zeros_like(bs), precond=M, tol=1e-6, maxiter=600
     )
     res = solve()
-    jax.block_until_ready(res.x)
+    _sync(res.x)
     t0 = time.perf_counter()
     res = solve()
-    jax.block_until_ready(res.x)
+    _sync(res.x)
     extra["cg_jacobi_ms_tet_cube"] = (time.perf_counter() - t0) * 1e3
     extra["cg_iters_tet_cube"] = int(res.iterations)
 
@@ -137,10 +171,10 @@ def main():
         A1m, b1s, jnp.zeros_like(b1s), precond=M1m, tol=1e-6, maxiter=200
     )
     res1m = amg_solve()
-    jax.block_until_ready(res1m.x)
+    _sync(res1m.x)
     t0 = time.perf_counter()
     res1m = amg_solve()
-    jax.block_until_ready(res1m.x)
+    _sync(res1m.x)
     extra["cg_amg_ms_box1m"] = (time.perf_counter() - t0) * 1e3
     extra["cg_amg_iters_box1m"] = int(res1m.iterations)
 

@@ -63,6 +63,12 @@ def main(argv=None) -> int:
 
     with timer.phase("read"):
         mesh = read_exodus(cfg.input)
+    if cfg.refine > 0:
+        from ..io import refine_uniform
+
+        with timer.phase("refine"):
+            mesh = refine_uniform(mesh, cfg.refine)
+        print(f"Refined x{cfg.refine}: {mesh.num_nodes} nodes, {mesh.num_elem} elements")
     if cfg.verbose:
         print(
             f"Title: {mesh.title}\n# of Nodes: {mesh.num_nodes}\n"
@@ -111,6 +117,18 @@ def main(argv=None) -> int:
                 result = gmres_solve(
                     A, b, x0, precond=precond, restart=cfg.restart,
                     tol=cfg.tolerance, maxiter=cfg.iterations,
+                )
+                x_host = unpad_vector(result.x, system.n_free)
+                writer.write_solution(
+                    x_host, system.free_to_node, int(result.iterations)
+                )
+            elif cfg.checkpoint:
+                from ..solvers import cg_solve_resumable
+
+                result = cg_solve_resumable(
+                    A, b, x0, checkpoint_path=cfg.checkpoint,
+                    checkpoint_every=cfg.checkpoint_every,
+                    precond=precond, tol=cfg.tolerance, maxiter=cfg.iterations,
                 )
                 x_host = unpad_vector(result.x, system.n_free)
                 writer.write_solution(

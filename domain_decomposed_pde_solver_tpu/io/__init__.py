@@ -8,6 +8,7 @@ from .exodus import (
     write_exodus,
 )
 from .boxmesh import box_mesh
+from .refine import refine_uniform
 from .sides import nodesets_from_sidesets, side_local_nodes, sideset_nodes
 
 __all__ = [
@@ -21,6 +22,7 @@ __all__ = [
     "read_nodal_vars",
     "ExodusSolutionWriter",
     "box_mesh",
+    "refine_uniform",
     "nodesets_from_sidesets",
     "side_local_nodes",
     "sideset_nodes",

@@ -1,6 +1,6 @@
 """Krylov solvers, eigen utilities, and preconditioners."""
 
-from .cg import CGResult, cg_solve, cg_solve_snapshots
+from .cg import CGResult, cg_solve, cg_solve_resumable, cg_solve_snapshots
 from .gmres import GMRESResult, gmres_solve
 from .power import PowerResult, power_method
 from .precond import (
@@ -15,6 +15,7 @@ __all__ = [
     "CGResult",
     "cg_solve",
     "cg_solve_snapshots",
+    "cg_solve_resumable",
     "GMRESResult",
     "gmres_solve",
     "PowerResult",

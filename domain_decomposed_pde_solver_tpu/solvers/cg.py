@@ -31,7 +31,13 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CGResult", "cg_solve", "cg_solve_snapshots", "IdentityPrecond"]
+__all__ = [
+    "CGResult",
+    "cg_solve",
+    "cg_solve_snapshots",
+    "cg_solve_resumable",
+    "IdentityPrecond",
+]
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=[], meta_fields=[])
@@ -121,6 +127,69 @@ def _cg_step(A, M, x, r, p, rz, dot=jnp.vdot):
     rz_new = dot(r, z)
     p = z + rz_new / rz * p
     return x, r, p, rz_new, jnp.sqrt(dot(r, r))
+
+
+def cg_solve_resumable(
+    A: Any,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    checkpoint_path: str,
+    checkpoint_every: int = 50,
+    precond: Any = None,
+    tol: float = 1e-14,
+    maxiter: int = 300,
+    dot: Callable = jnp.vdot,
+) -> "CGResult":
+    """CG with periodic checkpointing and exact resume.
+
+    If ``checkpoint_path`` holds a prior state (same problem), the recurrence
+    continues from it — the capability the reference lacks entirely
+    (SURVEY §5 "no solver restart capability").  The CG three-term state
+    ``(x, r, p, rz, k)`` fully determines the remaining iterations, so a
+    resumed run is identical to an uninterrupted one.
+    """
+    import numpy as np
+
+    from ..utils.checkpoint import CGCheckpoint, load_checkpoint, save_checkpoint
+
+    M = precond if precond is not None else IdentityPrecond()
+    bnorm = float(jnp.sqrt(dot(b, b))) or 1.0
+
+    ck = load_checkpoint(checkpoint_path)
+    if ck is not None and ck.x.shape == x0.shape:
+        x = jnp.asarray(ck.x)
+        r = jnp.asarray(ck.r)
+        p = jnp.asarray(ck.p)
+        rz = jnp.asarray(ck.rz, b.dtype)
+        k = ck.iteration
+    else:
+        x = x0
+        r = b - A.matvec(x0)
+        z = M(r)
+        p = z
+        rz = dot(r, z)
+        k = 0
+    rnorm = float(jnp.sqrt(dot(r, r)))
+    while rnorm / bnorm > tol and k < maxiter:
+        x, r, p, rz, rn = _cg_step(A, M, x, r, p, rz, dot=dot)
+        rnorm = float(rn)
+        k += 1
+        if k % checkpoint_every == 0:
+            save_checkpoint(
+                checkpoint_path,
+                CGCheckpoint(
+                    x=np.asarray(x), r=np.asarray(r), p=np.asarray(p),
+                    rz=float(rz), iteration=k,
+                    meta={"bnorm": bnorm, "tol": tol},
+                ),
+            )
+    return CGResult(
+        x=x,
+        iterations=jnp.int32(k),
+        relres=jnp.asarray(rnorm / bnorm),
+        converged=jnp.asarray(rnorm / bnorm <= tol),
+    )
 
 
 def cg_solve_snapshots(

@@ -279,6 +279,25 @@ def smoothed_aggregation_setup(
 
     # Dense coarse solve, padded with identity outside the logical block.
     nc = A_k.shape[0]
+    if nc > max(4 * coarse_size, 512):
+        # Aggregation stalled before reaching the target size; a dense
+        # inverse at this size would be prohibitive.  Fall back to a Jacobi
+        # "coarse solve" (diagonal inverse) — the cycle stays a valid
+        # preconditioner, just weaker on the coarsest level.
+        n_pad_c = n_pads[-1]
+        d = A_k.diagonal()
+        d = np.where(d != 0, d, 1.0)
+        coarse_inv_diag = np.ones(n_pad_c)
+        coarse_inv_diag[:nc] = 1.0 / d
+        coarse_inv = jnp.asarray(
+            np.diag(coarse_inv_diag).astype(np.dtype(dtype))
+        )
+        return AMGPreconditioner(
+            levels=levels,
+            coarse_inv=coarse_inv,
+            smoother=smoother,
+            smooth_steps=smooth_steps,
+        )
     n_pad_c = n_pads[-1]
     dense = np.eye(n_pad_c)
     dense[:nc, :nc] = A_k.toarray()

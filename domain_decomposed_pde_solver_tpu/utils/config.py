@@ -34,6 +34,9 @@ class SolveConfig:
     snapshots: bool = True  # write per-iteration timesteps like the reference
     restart: int = 30  # GMRES restart length
     seed: int = 0  # X randomization seed (reference uses time(NULL), :665)
+    refine: int = 0  # uniform refinement levels before assembly
+    checkpoint: str = ""  # checkpoint file for resumable CG
+    checkpoint_every: int = 50
 
 
 def add_solve_args(ap: argparse.ArgumentParser) -> None:
@@ -59,6 +62,12 @@ def add_solve_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--no-snapshots", dest="snapshots", action="store_false")
     ap.add_argument("--restart", type=int, default=d.restart)
     ap.add_argument("--seed", type=int, default=d.seed)
+    ap.add_argument("--refine", type=int, default=d.refine,
+                    help="uniform refinement levels before assembly")
+    ap.add_argument("--checkpoint", default=d.checkpoint,
+                    help="CG checkpoint file (enables exact resume)")
+    ap.add_argument("--checkpoint-every", dest="checkpoint_every", type=int,
+                    default=d.checkpoint_every)
 
 
 def config_from_args(args: argparse.Namespace) -> SolveConfig:
