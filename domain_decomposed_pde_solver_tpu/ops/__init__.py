@@ -3,6 +3,7 @@
 from .csr import CSRMatrix, coo_to_csr
 from .ell import ELLMatrix, ell_from_csr, pad_to, pad_vector, unpad_vector
 from .spmv import ell_spmv, spmv_bytes
+from .dia import DIAMatrix, choose_operator, dia_from_csr, operator_bytes
 
 __all__ = [
     "CSRMatrix",
@@ -14,4 +15,8 @@ __all__ = [
     "unpad_vector",
     "ell_spmv",
     "spmv_bytes",
+    "DIAMatrix",
+    "dia_from_csr",
+    "choose_operator",
+    "operator_bytes",
 ]

@@ -1,0 +1,137 @@
+"""DIA (diagonal/stencil) sparse format — the gather-free TPU SpMV path.
+
+TPU hardware serializes irregular gathers, so the ELL path
+(:mod:`.ell`) pays ~an order of magnitude over streaming rate.  But
+structured meshes (the generated boxes used for the 1M/10M-DOF BASELINE
+configs, and any lexicographically-numbered grid) produce matrices whose
+nonzeros lie on a *fixed small set of diagonals* — e.g. 19 diagonals cover
+100% of the 5-tet box Laplacian.  For those, SpMV is a sum of shifted
+elementwise multiplies: pure VPU streaming, zero gathers:
+
+    y[i] = sum_d  data[d, i] * x[i + offset_d]
+
+Each shift compiles to two contiguous slices (a roll), so the whole SpMV is
+bandwidth-bound on any TPU generation.  :func:`choose_operator` picks
+DIA automatically when the diagonal count is small enough to win.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .csr import CSRMatrix
+from .ell import ELLMatrix, ell_from_csr, pad_to
+
+__all__ = ["DIAMatrix", "dia_from_csr", "choose_operator", "operator_bytes"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["offsets", "n_rows"],
+)
+@dataclasses.dataclass
+class DIAMatrix:
+    """Diagonal-storage sparse matrix.
+
+    ``data[d, i]`` is the coefficient of ``x[i + offsets[d]]`` in row ``i``
+    (zero where that column doesn't exist).  ``offsets`` is a static tuple,
+    so the shift loop fully unrolls under jit.
+    """
+
+    data: jax.Array  # (ndiags, n_pad)
+    offsets: Tuple[int, ...]
+    n_rows: int
+
+    @property
+    def n_pad(self) -> int:
+        return int(self.data.shape[1])
+
+    @property
+    def n_cols(self) -> int:
+        return self.n_rows
+
+    @property
+    def ndiags(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def matvec(self, x_padded: jax.Array) -> jax.Array:
+        """y = A @ x on padded vectors.  ``jnp.roll(x, -o)[i] = x[i+o]``;
+        wrapped lanes always multiply a structurally-zero coefficient (a
+        nonzero data[d, i] implies 0 <= i+o < n_rows <= n_pad)."""
+        y = jnp.zeros_like(x_padded)
+        for d, off in enumerate(self.offsets):
+            y = y + self.data[d] * jnp.roll(x_padded, -off)
+        return y
+
+    def diagonal_padded(self, fill: float = 1.0) -> jax.Array:
+        if 0 in self.offsets:
+            d = self.data[self.offsets.index(0)]
+        else:
+            d = jnp.zeros(self.n_pad, self.dtype)
+        pad_mask = jnp.arange(self.n_pad) >= self.n_rows
+        d = jnp.where(d == 0, jnp.asarray(fill, self.dtype), d)
+        return jnp.where(pad_mask, jnp.asarray(fill, self.dtype), d)
+
+    def astype(self, dtype) -> "DIAMatrix":
+        return DIAMatrix(self.data.astype(dtype), self.offsets, self.n_rows)
+
+
+def dia_from_csr(
+    csr: CSRMatrix,
+    dtype=jnp.float32,
+    max_diags: int = 64,
+    row_multiple: int = 8,
+) -> Optional[DIAMatrix]:
+    """Convert to DIA iff every nonzero lies on at most ``max_diags``
+    diagonals; returns None otherwise."""
+    n = csr.n_rows
+    if csr.n_cols != n:
+        return None
+    rows = np.repeat(np.arange(n), csr.row_lengths())
+    offs = csr.indices - rows
+    uniq = np.unique(offs)
+    if uniq.size > max_diags:
+        return None
+    n_pad = pad_to(max(n, 1), row_multiple)
+    data = np.zeros((uniq.size, n_pad), dtype=np.dtype(dtype))
+    dpos = np.searchsorted(uniq, offs)
+    data[dpos, rows] = csr.data.astype(np.dtype(dtype))
+    return DIAMatrix(
+        data=jnp.asarray(data), offsets=tuple(int(o) for o in uniq), n_rows=n
+    )
+
+
+def choose_operator(
+    csr: CSRMatrix, dtype=jnp.float32, max_diags: int = 64
+) -> Union[DIAMatrix, ELLMatrix]:
+    """Pick the fastest device format for this matrix.
+
+    DIA wins when the diagonal count is small (stencil/structured meshes):
+    its traffic is ``ndiags * n`` values but zero gathers.  Otherwise ELL
+    (gathers, but traffic proportional to max row nnz).
+    """
+    dia = dia_from_csr(csr, dtype=dtype, max_diags=max_diags)
+    if dia is not None:
+        return dia
+    return ell_from_csr(csr, dtype=dtype)
+
+
+def operator_bytes(A: Union[DIAMatrix, ELLMatrix]) -> int:
+    """Minimum HBM traffic of one SpMV with this operator."""
+    if isinstance(A, DIAMatrix):
+        vb = A.data.dtype.itemsize
+        return A.ndiags * A.n_pad * vb + 2 * A.n_pad * vb
+    from .spmv import spmv_bytes
+
+    return spmv_bytes(A)

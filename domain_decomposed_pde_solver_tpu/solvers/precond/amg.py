@@ -206,14 +206,14 @@ class AMGPreconditioner:
             return self.coarse_inv @ b
         lvl = self.levels[k]
         x = self._smooth(lvl, jnp.zeros_like(b), b)
-        r_c = ell_spmv(lvl.R, b - _apply_A(lvl.A, x))
+        r_c = lvl.R.matvec(b - _apply_A(lvl.A, x))
         x_c = self._vcycle(k + 1, r_c)
-        x = x + ell_spmv(lvl.P, x_c)
+        x = x + lvl.P.matvec(x_c)
         return self._smooth(lvl, x, b)
 
 
-def _apply_A(A: ELLMatrix, x):
-    return ell_spmv(A, x)
+def _apply_A(A, x):
+    return A.matvec(x)
 
 
 def smoothed_aggregation_setup(
@@ -261,12 +261,16 @@ def smoothed_aggregation_setup(
 
         n_pad_f = n_pads[-1]
         n_pad_c = pad_to(max(n_c, 1))
-        lvl_A = ell_from_csr(csr_k, dtype=dtype)
+        # Level operator: DIA when the level has stencil structure (the fine
+        # level of generated/structured meshes) — gather-free smoothing.
+        from ...ops.dia import choose_operator
+
+        lvl_A = choose_operator(csr_k, dtype=dtype)
         # Pad transfer operators to (n_pad_f x n_pad_c) shapes.
         P_csr = _from_scipy(P)
         R_csr = _from_scipy(R)
         lvl = AMGLevel(
-            A=_repad(lvl_A, n_pad_f),
+            A=_repad(lvl_A, n_pad_f) if isinstance(lvl_A, ELLMatrix) else lvl_A,
             P=_repad(ell_from_csr(P_csr, dtype=dtype), n_pad_f),
             R=_repad(ell_from_csr(R_csr, dtype=dtype), n_pad_c),
             inv_diag=_inv_diag_padded(csr_k, n_pad_f, dtype),

@@ -1,0 +1,84 @@
+"""DIA (stencil) format tests — the gather-free SpMV path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from domain_decomposed_pde_solver_tpu.io import box_mesh, read_exodus
+from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+from domain_decomposed_pde_solver_tpu.ops import (
+    DIAMatrix,
+    ELLMatrix,
+    choose_operator,
+    dia_from_csr,
+    operator_bytes,
+    pad_vector,
+    unpad_vector,
+)
+from domain_decomposed_pde_solver_tpu.solvers import cg_solve
+from domain_decomposed_pde_solver_tpu.solvers.precond.jacobi import (
+    DiagonalPreconditioner,
+)
+
+
+@pytest.mark.parametrize("et", ["TETRA4", "HEX8"])
+def test_dia_matvec_matches_csr(et):
+    mesh = box_mesh(8, 7, 6, elem_type=et)
+    sys_ = assemble_heat_system(mesh)
+    A = dia_from_csr(sys_.A, dtype=jnp.float64)
+    assert A is not None and A.ndiags <= 32
+    x = np.random.default_rng(0).standard_normal(sys_.A.n_rows)
+    y = unpad_vector(A.matvec(pad_vector(x, A.n_pad)), sys_.A.n_rows)
+    np.testing.assert_allclose(y, sys_.A.matvec(x), rtol=1e-12, atol=1e-12)
+    # Padded tail must stay exactly zero.
+    full = np.asarray(A.matvec(pad_vector(x, A.n_pad)))
+    np.testing.assert_array_equal(full[sys_.A.n_rows :], 0.0)
+
+
+def test_dia_diagonal_padded():
+    mesh = box_mesh(5, 5, 5, elem_type="TETRA4")
+    sys_ = assemble_heat_system(mesh)
+    A = dia_from_csr(sys_.A, dtype=jnp.float64)
+    d = np.asarray(A.diagonal_padded(fill=1.0))
+    np.testing.assert_allclose(d[: sys_.n_free], sys_.degree)
+    np.testing.assert_array_equal(d[sys_.n_free :], 1.0)
+
+
+def test_choose_operator_selects_by_structure(data_dir):
+    box = assemble_heat_system(box_mesh(10, 10, 10, elem_type="TETRA4"))
+    assert isinstance(choose_operator(box.A), DIAMatrix)
+    unstructured = assemble_heat_system(
+        read_exodus(str(data_dir / "tet-cube-heat.exo"))
+    )
+    assert isinstance(choose_operator(unstructured.A), ELLMatrix)
+
+
+def test_dia_refuses_unstructured(data_dir):
+    sys_ = assemble_heat_system(read_exodus(str(data_dir / "brick.exo")))
+    assert dia_from_csr(sys_.A, max_diags=64) is None
+
+
+def test_cg_on_dia_operator():
+    mesh = box_mesh(10, 10, 10, elem_type="TETRA4")
+    sys_ = assemble_heat_system(mesh)
+    A = dia_from_csr(sys_.A, dtype=jnp.float64)
+    b = pad_vector(sys_.b, A.n_pad)
+    M = DiagonalPreconditioner(1.0 / A.diagonal_padded())
+    res = cg_solve(A, b, jnp.zeros_like(b), precond=M, tol=1e-12, maxiter=2000)
+    assert bool(res.converged)
+    import scipy.sparse.linalg as spla
+
+    xd = spla.spsolve(sys_.A.to_scipy().tocsc(), sys_.b)
+    x = unpad_vector(res.x, sys_.n_free)
+    assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-9
+
+
+def test_operator_bytes_sane():
+    mesh = box_mesh(6, 6, 6, elem_type="TETRA4")
+    sys_ = assemble_heat_system(mesh)
+    dia = dia_from_csr(sys_.A, dtype=jnp.float32)
+    from domain_decomposed_pde_solver_tpu.ops import ell_from_csr
+
+    ell = ell_from_csr(sys_.A, dtype=jnp.float32)
+    # DIA payload must be smaller than ELL's (no index storage).
+    assert operator_bytes(dia) < operator_bytes(ell)
