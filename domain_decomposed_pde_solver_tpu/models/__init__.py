@@ -2,10 +2,12 @@
 
 from .heat import HeatSystem, assemble_heat_system, unique_element_edges
 from .laplacian import assemble_full_laplacian
+from .poisson_fem import assemble_poisson_fem
 
 __all__ = [
     "HeatSystem",
     "assemble_heat_system",
     "unique_element_edges",
     "assemble_full_laplacian",
+    "assemble_poisson_fem",
 ]

@@ -1,0 +1,139 @@
+"""P1 finite-element Poisson model (true stiffness matrix).
+
+The reference stops at the *graph* Laplacian and leaves real PDEs as future
+work ("if a particular PDE was meant to be [solved] ... see 'getMatrix'",
+``ExodusIO.hpp:725-732``).  This model family completes that direction: the
+standard P1 (linear simplex) stiffness matrix
+
+    K[i,j] = ∫ grad(phi_i) . grad(phi_j) dx
+
+assembled fully vectorized over elements (per-element 3x3/4x4 local
+matrices from edge geometry), with the same nodeset-based Dirichlet
+elimination and RHS-lifting machinery as the heat model: for boundary value
+g, solve ``K_ff x = f - K_fb g``.
+
+Supports TRI3 (2D, embedded in 3D via in-plane coordinates) and TETRA4.
+The resulting :class:`..models.heat.HeatSystem`-shaped output plugs into
+every solver/preconditioner/partitioner unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..io.mesh import MeshModel
+from ..ops.csr import CSRMatrix, coo_to_csr
+from .heat import HeatSystem
+
+__all__ = ["assemble_poisson_fem"]
+
+
+def _tet_local_stiffness(coords: np.ndarray, conn: np.ndarray) -> np.ndarray:
+    """(ne, 4, 4) local stiffness for TETRA4: K_loc = V * B^T B with B the
+    constant gradients of the barycentric basis."""
+    p = coords[conn]  # (ne, 4, 3)
+    # Jacobian columns: edges from node 0.
+    J = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]], axis=2)
+    detJ = np.linalg.det(J)
+    vol = np.abs(detJ) / 6.0
+    Jinv = np.linalg.inv(J)  # (ne, 3, 3)
+    # Gradients of reference basis: lambda_0 = 1-x-y-z, lambda_i = x_i.
+    gref = np.array(
+        [[-1.0, -1.0, -1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    )  # (4, 3)
+    # Physical gradients: g_phys = gref @ Jinv  -> (ne, 4, 3)
+    g = np.einsum("aj,nji->nai", gref, Jinv)
+    K = np.einsum("nai,nbi,n->nab", g, g, vol)
+    return K
+
+
+def _tri_local_stiffness(coords: np.ndarray, conn: np.ndarray) -> np.ndarray:
+    """(ne, 3, 3) local stiffness for TRI3 via the cotangent formula,
+    using 3D coordinates directly (works for planar meshes embedded in 3D)."""
+    p = coords[conn]  # (ne, 3, 3)
+    e0 = p[:, 2] - p[:, 1]  # opposite node 0
+    e1 = p[:, 0] - p[:, 2]
+    e2 = p[:, 1] - p[:, 0]
+    n = np.cross(e1, e2)
+    area2 = np.linalg.norm(n, axis=1)  # 2*area
+    area2 = np.where(area2 == 0, 1e-300, area2)
+    # K[a,b] = (e_a . e_b) / (2 * 2A) for a != b has sign conventions; the
+    # standard form: K = (1/(4A)) * G with G[a,b] = e_a . e_b, where e_a is
+    # the edge vector opposite node a, and K rows sum to zero.
+    E = np.stack([e0, e1, e2], axis=1)  # (ne, 3, 3)
+    G = np.einsum("nai,nbi->nab", E, E)
+    return G / (2.0 * area2)[:, None, None]
+
+
+def assemble_poisson_fem(
+    mesh: MeshModel,
+    f: Optional[np.ndarray] = None,
+    dtype=np.float64,
+) -> HeatSystem:
+    """Assemble the P1 Poisson system with nodeset Dirichlet BCs.
+
+    Boundary values follow the reference convention (value = smallest
+    nodeset id containing the node, ``ExodusIO.hpp:675-682``); ``f`` is an
+    optional per-node source density (defaults to zero — pure boundary-value
+    problem like the reference's heat equation).
+    """
+    n = mesh.num_nodes
+    is_boundary, bval = mesh.boundary_value_per_node()
+    free_mask = ~is_boundary
+    free_to_node = np.nonzero(free_mask)[0].astype(np.int64)
+    node_to_free = np.full(n, -1, dtype=np.int64)
+    node_to_free[free_to_node] = np.arange(free_to_node.size)
+    n_free = int(free_to_node.size)
+
+    rows_all = []
+    cols_all = []
+    vals_all = []
+    for blk in mesh.blocks:
+        et = blk.elem_type.strip().upper()
+        conn = blk.conn.astype(np.int64)
+        if et.startswith(("TETRA", "TET")) and conn.shape[1] == 4:
+            K = _tet_local_stiffness(mesh.coords, conn)
+        elif et.startswith("TRI") and conn.shape[1] == 3:
+            K = _tri_local_stiffness(mesh.coords, conn)
+        else:
+            raise ValueError(f"P1 FEM assembly unsupported for {blk.elem_type}")
+        npe = conn.shape[1]
+        a_idx, b_idx = np.meshgrid(np.arange(npe), np.arange(npe), indexing="ij")
+        rows_all.append(conn[:, a_idx].reshape(-1))
+        cols_all.append(conn[:, b_idx].reshape(-1))
+        vals_all.append(K.reshape(-1))
+    rows = np.concatenate(rows_all)
+    cols = np.concatenate(cols_all)
+    vals = np.concatenate(vals_all).astype(dtype)
+
+    # Full stiffness (node space), duplicates summed.
+    K_full = coo_to_csr(rows, cols, vals, (n, n), sum_dups=True)
+
+    # Partition into K_ff (free x free) and lift: b = f_free - K_fb g.
+    ff = free_mask[rows] & free_mask[cols]
+    K_ff = coo_to_csr(
+        node_to_free[rows[ff]],
+        node_to_free[cols[ff]],
+        vals[ff],
+        (n_free, n_free),
+        sum_dups=True,
+    )
+    fb = free_mask[rows] & ~free_mask[cols]
+    b = np.zeros(n_free, dtype=dtype)
+    np.add.at(
+        b, node_to_free[rows[fb]], -vals[fb] * bval[cols[fb]].astype(dtype)
+    )
+    if f is not None:
+        b = b + np.asarray(f, dtype=dtype)[free_to_node]
+
+    return HeatSystem(
+        A=K_ff,
+        b=b,
+        free_to_node=free_to_node,
+        node_to_free=node_to_free,
+        degree=K_ff.diagonal(),
+        mesh=mesh,
+    )
