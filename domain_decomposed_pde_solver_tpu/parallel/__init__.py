@@ -13,6 +13,7 @@ from .partition import (
 from .halo import HaloPlan, build_halo_plan
 from .decompose import decompose_mesh, write_decomposition
 from .ownership import node_ownership_from_element_partition
+from .slab import SlabDIAPlan, build_slab_plan, slab_cg_solve
 from .sharded import (
     ShardedOperator,
     make_device_mesh,
@@ -35,6 +36,9 @@ __all__ = [
     "decompose_mesh",
     "write_decomposition",
     "node_ownership_from_element_partition",
+    "SlabDIAPlan",
+    "build_slab_plan",
+    "slab_cg_solve",
     "ShardedOperator",
     "make_device_mesh",
     "sharded_cg_solve",
