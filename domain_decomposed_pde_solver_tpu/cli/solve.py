@@ -34,6 +34,12 @@ def main(argv=None) -> int:
     add_solve_args(ap)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--x64", action="store_true", help="enable float64")
+    ap.add_argument(
+        "--debug-nans", action="store_true",
+        help="abort on NaN/Inf in any device computation (the framework's "
+        "sanitizer switch; the reference compiled ASan into every binary, "
+        "build.sh:77)",
+    )
     args = ap.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -43,6 +49,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     if args.x64 or cfg.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
 
     from ..io import ExodusSolutionWriter, read_exodus
@@ -107,7 +115,11 @@ def main(argv=None) -> int:
             writer.write_solution(x_host, system.free_to_node, int(result.iterations))
             writer.close()
         else:
-            A = ell_from_csr(system.A, dtype=dtype)
+            from ..ops import choose_operator
+
+            A = choose_operator(system.A, dtype=dtype)
+            if cfg.verbose:
+                print(f"operator format: {type(A).__name__}")
             b = pad_vector(system.b.astype(np.dtype(dtype)), A.n_pad)
             x0 = pad_vector(x0_host.astype(np.dtype(dtype)), A.n_pad)
             precond = _make_precond(cfg, A, system)

@@ -72,7 +72,9 @@ def dia_spmv_pallas(
         out_shape=jax.ShapeDtypeStruct((n_round,), x_padded.dtype),
         grid=(n_grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if not interpret else None),
+            # x resident in VMEM for the whole sweep (fits for <~3M rows
+            # in f32; larger problems are sharded into slabs first anyway).
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (len(offsets), chunk),
                 lambda i: (0, i),
