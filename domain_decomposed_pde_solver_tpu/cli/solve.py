@@ -126,14 +126,43 @@ def main(argv=None) -> int:
             writer = ExodusSolutionWriter(cfg.solution, out_mesh)
             writer.write_boundary_timestep()
             if cfg.solver == "gmres":
-                result = gmres_solve(
-                    A, b, x0, precond=precond, restart=cfg.restart,
-                    tol=cfg.tolerance, maxiter=cfg.iterations,
-                )
+                if cfg.snapshots:
+                    # One snapshot per restart cycle, warm-started — the
+                    # convergence-animation behavior of the reference's
+                    # solve/writeSolution/reset loop
+                    # (``BelosMueLuSolver.cpp:112-133``) without its
+                    # Krylov-space-destroying per-iteration reset.
+                    x_cur = x0
+                    total = 0
+                    result = None
+                    while total < cfg.iterations:
+                        step = min(cfg.restart, cfg.iterations - total)
+                        result = gmres_solve(
+                            A, b, x_cur, precond=precond,
+                            restart=cfg.restart, tol=cfg.tolerance,
+                            maxiter=step,
+                        )
+                        x_cur = result.x
+                        total += max(int(result.iterations), 1)
+                        writer.write_solution(
+                            unpad_vector(x_cur, system.n_free),
+                            system.free_to_node, total,
+                        )
+                        if cfg.verbose:
+                            print(f"iter {total}: relres {float(result.relres):.3e}")
+                        if bool(result.converged):
+                            break
+                    result = dataclasses_replace_iters(result, total)
+                else:
+                    result = gmres_solve(
+                        A, b, x0, precond=precond, restart=cfg.restart,
+                        tol=cfg.tolerance, maxiter=cfg.iterations,
+                    )
+                    writer.write_solution(
+                        unpad_vector(result.x, system.n_free),
+                        system.free_to_node, int(result.iterations),
+                    )
                 x_host = unpad_vector(result.x, system.n_free)
-                writer.write_solution(
-                    x_host, system.free_to_node, int(result.iterations)
-                )
             elif cfg.checkpoint:
                 from ..solvers import cg_solve_resumable
 
@@ -181,6 +210,14 @@ def main(argv=None) -> int:
     if cfg.verbose:
         print(timer.report())
     return 0 if conv else 1
+
+
+def dataclasses_replace_iters(result, total):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    return dataclasses.replace(result, iterations=jnp.int32(total))
 
 
 def _make_precond(cfg, A, system):
