@@ -2,6 +2,7 @@
 
 from .cg import CGResult, cg_solve, cg_solve_resumable, cg_solve_snapshots
 from .gmres import GMRESResult, gmres_solve
+from .mixed import MixedSolveResult, iterative_refinement_solve
 from .power import PowerResult, power_method
 from .precond import (
     AMGPreconditioner,
@@ -20,6 +21,8 @@ __all__ = [
     "gmres_solve",
     "PowerResult",
     "power_method",
+    "MixedSolveResult",
+    "iterative_refinement_solve",
     "jacobi_preconditioner",
     "chebyshev_preconditioner",
     "estimate_lmax_dinv_a",
