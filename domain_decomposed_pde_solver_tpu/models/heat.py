@@ -69,14 +69,31 @@ def unique_element_edges(mesh: MeshModel) -> np.ndarray:
     (``native/ddps_native.cpp::node_adjacency``) for single-block meshes.
     """
     n = mesh.num_nodes
-    if len(mesh.blocks) == 1:
-        from ..utils.native import node_adjacency_native
+    from ..utils.native import node_adjacency_native
 
-        res = node_adjacency_native(mesh.blocks[0].conn, n)
-        if res is not None:
+    if mesh.blocks:
+        # Native path: group blocks by nodes-per-elem (the C++ kernel takes a
+        # uniform-width conn array), dedup across groups with one np.unique.
+        by_npe = {}
+        for b in mesh.blocks:
+            by_npe.setdefault(b.nodes_per_elem, []).append(b.conn)
+        native_pairs = []
+        ok = True
+        for npe, conns in by_npe.items():
+            conn = np.concatenate(conns, axis=0) if len(conns) > 1 else conns[0]
+            res = node_adjacency_native(conn, n)
+            if res is None:
+                ok = False
+                break
             indptr, indices = res
             u = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-            return np.stack([u, indices], axis=1)
+            native_pairs.append(u * np.int64(n) + indices)
+        if ok and native_pairs:
+            if len(native_pairs) == 1:
+                keys = native_pairs[0]  # already sorted unique
+            else:
+                keys = np.unique(np.concatenate(native_pairs))
+            return np.stack([keys // n, keys % n], axis=1)
     chunks = []
     for blk in mesh.blocks:
         conn = blk.conn.astype(np.int64)
