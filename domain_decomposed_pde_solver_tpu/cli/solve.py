@@ -163,6 +163,17 @@ def main(argv=None) -> int:
                         system.free_to_node, int(result.iterations),
                     )
                 x_host = unpad_vector(result.x, system.n_free)
+            elif cfg.solver == "bicgstab":
+                from ..solvers import bicgstab_solve
+
+                result = bicgstab_solve(
+                    A, b, x0, precond=precond, tol=cfg.tolerance,
+                    maxiter=cfg.iterations,
+                )
+                x_host = unpad_vector(result.x, system.n_free)
+                writer.write_solution(
+                    x_host, system.free_to_node, int(result.iterations)
+                )
             elif cfg.checkpoint:
                 from ..solvers import cg_solve_resumable
 

@@ -4,6 +4,8 @@ from .csr import CSRMatrix, coo_to_csr
 from .ell import ELLMatrix, ell_from_csr, pad_to, pad_vector, unpad_vector
 from .spmv import ell_spmv, spmv_bytes
 from .dia import DIAMatrix, choose_operator, dia_from_csr, operator_bytes
+from .hyb import HYBMatrix, hyb_from_csr, rcm_permute
+from .splitell import SplitELLMatrix, splitell_from_csr
 
 __all__ = [
     "CSRMatrix",
@@ -19,4 +21,9 @@ __all__ = [
     "dia_from_csr",
     "choose_operator",
     "operator_bytes",
+    "HYBMatrix",
+    "hyb_from_csr",
+    "rcm_permute",
+    "SplitELLMatrix",
+    "splitell_from_csr",
 ]

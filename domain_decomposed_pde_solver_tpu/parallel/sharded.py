@@ -142,15 +142,36 @@ def sharded_cg_solve(
     x0: jax.Array,
     *,
     precond_diag: Optional[jax.Array] = None,
+    cheb_lmax: Optional[float] = None,
+    cheb_degree: int = 4,
     tol: float = 1e-14,
     maxiter: int = 300,
 ) -> CGResult:
-    """CG over the device mesh: the whole loop is one SPMD program."""
+    """CG over the device mesh: the whole loop is one SPMD program.
+
+    Preconditioning: Jacobi via ``precond_diag`` (inverse diagonal, sharded);
+    passing ``cheb_lmax`` (e.g. from :func:`sharded_power_method` on
+    D^-1 A) upgrades it to distributed Chebyshev — each polynomial term is a
+    halo-exchange SpMV, so the preconditioner itself runs over ICI with no
+    extra machinery."""
     have_M = precond_diag is not None
 
     def body(cols, vals, send_idx, b_blk, x_blk, *rest):
         op = BlockOperator(cols[0], vals[0], send_idx[0])
-        M = DiagonalPreconditioner(rest[0][0]) if have_M else None
+        M = None
+        if have_M:
+            inv_d = rest[0][0]
+            if cheb_lmax is not None:
+                from ..solvers.precond.chebyshev import ChebyshevPreconditioner
+
+                M = ChebyshevPreconditioner(
+                    A=op,
+                    inv_diag=inv_d,
+                    lmax=jnp.asarray(cheb_lmax, b_blk.dtype),
+                    degree=cheb_degree,
+                )
+            else:
+                M = DiagonalPreconditioner(inv_d)
         res = cg_solve(
             op, b_blk[0], x_blk[0], precond=M, tol=tol, maxiter=maxiter,
             dot=_psum_dot,

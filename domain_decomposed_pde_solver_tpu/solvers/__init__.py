@@ -1,5 +1,6 @@
 """Krylov solvers, eigen utilities, and preconditioners."""
 
+from .bicgstab import BiCGStabResult, bicgstab_solve
 from .cg import CGResult, cg_solve, cg_solve_resumable, cg_solve_snapshots
 from .gmres import GMRESResult, gmres_solve
 from .mixed import MixedSolveResult, iterative_refinement_solve
@@ -13,6 +14,8 @@ from .precond import (
 )
 
 __all__ = [
+    "BiCGStabResult",
+    "bicgstab_solve",
     "CGResult",
     "cg_solve",
     "cg_solve_snapshots",

@@ -53,7 +53,7 @@ def add_solve_args(ap: argparse.ArgumentParser) -> None:
         type=int,
         default=d.report_after_iterations,
     )
-    ap.add_argument("--solver", choices=["cg", "gmres"], default=d.solver)
+    ap.add_argument("--solver", choices=["cg", "gmres", "bicgstab"], default=d.solver)
     ap.add_argument(
         "--precond", choices=["none", "jacobi", "chebyshev", "amg"], default=d.precond
     )

@@ -141,3 +141,23 @@ def test_sharded_power_method_full_laplacian(data_dir):
     res = sharded_power_method(op, z0, maxiter=2000, tol=1e-6, check_every=10)
     lam_true = np.linalg.eigvalsh(L.to_dense()).max()
     assert abs(float(res.eigenvalue) - lam_true) <= max(float(res.residual), 1e-6)
+
+
+def test_sharded_chebyshev_preconditioner(data_dir):
+    """Distributed Chebyshev: each polynomial term is a halo-exchange SpMV."""
+    _, sys_, adj, coords = make_system(data_dir)
+    nparts = 4
+    parts = partition_graph(adj, nparts, coords=coords)
+    plan = build_halo_plan(sys_.A, parts, nparts)
+    op = ShardedOperator.from_plan(plan, make_device_mesh(nparts))
+    b = op.put_vector(sys_.b)
+    inv_d = op.put_vector(1.0 / sys_.degree)
+    rj = sharded_cg_solve(op, b, jnp.zeros_like(b), precond_diag=inv_d,
+                          tol=1e-10, maxiter=2000)
+    rc = sharded_cg_solve(op, b, jnp.zeros_like(b), precond_diag=inv_d,
+                          cheb_lmax=1.9, cheb_degree=4, tol=1e-10, maxiter=2000)
+    assert bool(rc.converged)
+    assert int(rc.iterations) < int(rj.iterations)
+    x = op.get_vector(rc.x)
+    xd = np.linalg.solve(sys_.A.to_dense(), sys_.b)
+    assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-7

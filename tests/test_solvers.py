@@ -111,3 +111,33 @@ def test_power_method_matches_numpy_eig(data_dir):
     # of a true eigenvalue (Bauer-Fike), and must have locked onto lam_max.
     assert abs(float(res.eigenvalue) - lam_true) <= max(float(res.residual), 1e-8)
     assert abs(float(res.eigenvalue) - lam_true) / lam_true < 1e-3
+
+
+def test_bicgstab_spd_and_nonsymmetric(data_dir):
+    from domain_decomposed_pde_solver_tpu.solvers import bicgstab_solve
+
+    _, sys_, A, b = setup_system(data_dir, "brick.exo")
+    res = bicgstab_solve(A, b, jnp.zeros_like(b),
+                         precond=jacobi_preconditioner(A), tol=1e-11,
+                         maxiter=2000)
+    assert bool(res.converged)
+    xd = np.linalg.solve(sys_.A.to_dense(), sys_.b)
+    x = unpad_vector(res.x, sys_.n_free)
+    assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-8
+
+    rng = np.random.default_rng(3)
+    n = 60
+    dense = np.eye(n) * 10 + rng.standard_normal((n, n)) * 0.5
+    from domain_decomposed_pde_solver_tpu.ops import coo_to_csr
+
+    rows, cols = np.nonzero(dense)
+    csr = coo_to_csr(rows, cols, dense[rows, cols], (n, n))
+    An = ell_from_csr(csr, dtype=jnp.float64)
+    bn = pad_vector(rng.standard_normal(n), An.n_pad)
+    rn = bicgstab_solve(An, bn, jnp.zeros_like(bn), tol=1e-12, maxiter=500)
+    assert bool(rn.converged)
+    np.testing.assert_allclose(
+        unpad_vector(rn.x, n),
+        np.linalg.solve(dense, np.asarray(bn)[:n]),
+        rtol=1e-8, atol=1e-10,
+    )
