@@ -55,15 +55,9 @@ def main(argv=None) -> int:
 
     from ..io import ExodusSolutionWriter, read_exodus
     from ..models import assemble_heat_system
-    from ..ops import coo_to_csr, ell_from_csr, ell_spmv, pad_vector, unpad_vector
+    from ..ops import pad_vector, unpad_vector
     from ..parallel import decompose_mesh
-    from ..solvers import (
-        cg_solve_snapshots,
-        chebyshev_preconditioner,
-        estimate_lmax_dinv_a,
-        gmres_solve,
-        jacobi_preconditioner,
-    )
+    from ..solvers import cg_solve_snapshots, gmres_solve
     from ..utils import PhaseTimer, print_csr_matrix, print_vector
 
     timer = PhaseTimer()
@@ -286,9 +280,13 @@ def _solve_sharded(cfg, system, x0_host, dtype):
             tol=cfg.tolerance, maxiter=cfg.iterations,
         )
     else:
+        # For the graph Laplacian, D^-1 A = I - D^-1 Adj has spectrum in
+        # [0, 2], so lmax = 2 is an exact Chebyshev bound — no estimation
+        # pass needed for the distributed preconditioner.
+        cheb = 2.0 if cfg.precond == "chebyshev" else None
         result = sharded_cg_solve(
-            op, b, x0, precond_diag=inv_d, tol=cfg.tolerance,
-            maxiter=cfg.iterations,
+            op, b, x0, precond_diag=inv_d, cheb_lmax=cheb,
+            tol=cfg.tolerance, maxiter=cfg.iterations,
         )
     return result, op.get_vector(result.x)
 

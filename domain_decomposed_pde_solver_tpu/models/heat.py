@@ -59,14 +59,15 @@ class HeatSystem:
         return rng.uniform(-1.0, 1.0, size=self.n_free)
 
 
-def unique_element_edges(mesh: MeshModel) -> np.ndarray:
+def unique_element_edges(mesh: MeshModel):
     """All unique directed node pairs (u, v), u != v, co-occurring in an element.
 
     This is the array-programming replacement for the reference's
     per-element double loop inserting into ``adjacency[u].insert(v)``
-    (``ExodusIO.hpp:360-376``).  Returns an (E, 2) int64 array with each
-    ordered pair appearing once.  Uses the native C++ kernel
-    (``native/ddps_native.cpp::node_adjacency``) for single-block meshes.
+    (``ExodusIO.hpp:360-376``).  Returns ``(u, v)`` — two C-contiguous
+    int64 arrays (contiguity matters: downstream bincount/fancy-indexing on
+    strided column views is ~50x slower at 10M+ edges).  Uses the native C++
+    kernel (``native/ddps_native.cpp::node_adjacency``) when available.
     """
     n = mesh.num_nodes
     from ..utils.native import node_adjacency_native
@@ -77,7 +78,7 @@ def unique_element_edges(mesh: MeshModel) -> np.ndarray:
         by_npe = {}
         for b in mesh.blocks:
             by_npe.setdefault(b.nodes_per_elem, []).append(b.conn)
-        native_pairs = []
+        results = []
         ok = True
         for npe, conns in by_npe.items():
             conn = np.concatenate(conns, axis=0) if len(conns) > 1 else conns[0]
@@ -85,15 +86,25 @@ def unique_element_edges(mesh: MeshModel) -> np.ndarray:
             if res is None:
                 ok = False
                 break
-            indptr, indices = res
+            results.append(res)
+        if ok and len(results) == 1:
+            indptr, indices = results[0]
             u = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-            native_pairs.append(u * np.int64(n) + indices)
-        if ok and native_pairs:
-            if len(native_pairs) == 1:
-                keys = native_pairs[0]  # already sorted unique
-            else:
-                keys = np.unique(np.concatenate(native_pairs))
-            return np.stack([keys // n, keys % n], axis=1)
+            return u, indices  # already sorted unique, contiguous
+        if ok and results:
+            keys = np.unique(
+                np.concatenate(
+                    [
+                        np.repeat(np.arange(n, dtype=np.int64), np.diff(ip)) * n
+                        + ix
+                        for ip, ix in results
+                    ]
+                )
+            )
+            return (
+                np.ascontiguousarray(keys // n),
+                np.ascontiguousarray(keys % n),
+            )
     chunks = []
     for blk in mesh.blocks:
         conn = blk.conn.astype(np.int64)
@@ -104,13 +115,12 @@ def unique_element_edges(mesh: MeshModel) -> np.ndarray:
         k_idx, l_idx = np.nonzero(~np.eye(npe, dtype=bool))
         u = conn[:, k_idx].reshape(-1)
         v = conn[:, l_idx].reshape(-1)
-        chunks.append(np.stack([u, v], axis=1))
+        chunks.append(u * np.int64(n) + v)
     if not chunks:
-        return np.zeros((0, 2), dtype=np.int64)
-    pairs = np.concatenate(chunks, axis=0)
-    keys = pairs[:, 0] * np.int64(n) + pairs[:, 1]
-    uniq = np.unique(keys)
-    return np.stack([uniq // n, uniq % n], axis=1)
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    uniq = np.unique(np.concatenate(chunks))
+    return np.ascontiguousarray(uniq // n), np.ascontiguousarray(uniq % n)
 
 
 def assemble_heat_system(mesh: MeshModel, dtype=np.float64) -> HeatSystem:
@@ -123,8 +133,7 @@ def assemble_heat_system(mesh: MeshModel, dtype=np.float64) -> HeatSystem:
     node_to_free[free_to_node] = np.arange(free_to_node.size)
     n_free = int(free_to_node.size)
 
-    edges = unique_element_edges(mesh)  # (E, 2) unique (u, v)
-    u, v = edges[:, 0], edges[:, 1]
+    u, v = unique_element_edges(mesh)  # unique ordered pairs, contiguous
 
     # Keep only edges whose source is a DOF: the reference only builds
     # adjacency rows for free nodes (``ExodusIO.hpp:366-372``).

@@ -33,8 +33,7 @@ def assemble_full_laplacian(mesh: MeshModel, dtype=np.float64) -> CSRMatrix:
     de-duplication here gives the same result directly).
     """
     n = mesh.num_nodes
-    edges = unique_element_edges(mesh)
-    u, v = edges[:, 0], edges[:, 1]
+    u, v = unique_element_edges(mesh)
     degree = np.bincount(u, minlength=n).astype(dtype)
     coo_rows = np.concatenate([u, np.arange(n, dtype=np.int64)])
     coo_cols = np.concatenate([v, np.arange(n, dtype=np.int64)])

@@ -32,7 +32,6 @@ __all__ = ["dia_spmv_pallas"]
 
 
 def _kernel(offsets, span_neg, chunk, x_ref, data_ref, y_ref):
-    i = jax.lax.axis_index  # unused; grid position via program_id
     import jax.experimental.pallas as pl
 
     pid = pl.program_id(0)

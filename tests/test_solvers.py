@@ -141,3 +141,19 @@ def test_bicgstab_spd_and_nonsymmetric(data_dir):
         np.linalg.solve(dense, np.asarray(bn)[:n]),
         rtol=1e-8, atol=1e-10,
     )
+
+
+def test_cg_terminates_on_breakdown():
+    """A singular system with incompatible RHS must terminate (not hang):
+    NaN residuals make the while_loop condition false — the framework's
+    failure-detection behavior (converged=False, finite iteration count)."""
+    from domain_decomposed_pde_solver_tpu.ops import coo_to_csr
+
+    # Singular: the zero matrix.
+    n = 16
+    csr = coo_to_csr(np.arange(n), np.arange(n), np.zeros(n), (n, n))
+    A = ell_from_csr(csr, dtype=jnp.float64)
+    b = pad_vector(np.ones(n), A.n_pad)
+    res = cg_solve(A, b, jnp.zeros_like(b), tol=1e-12, maxiter=50)
+    assert not bool(res.converged)
+    assert int(res.iterations) <= 50
