@@ -103,10 +103,20 @@ def main(argv=None) -> int:
 
     with timer.phase("solve"):
         if cfg.partitions > 1:
-            result, x_host = _solve_sharded(cfg, system, x0_host, dtype)
             writer = ExodusSolutionWriter(cfg.solution, out_mesh)
             writer.write_boundary_timestep()
-            writer.write_solution(x_host, system.free_to_node, int(result.iterations))
+
+            def snap_cb(total, x_now):
+                writer.write_solution(x_now, system.free_to_node, total)
+
+            result, x_host = _solve_sharded(
+                cfg, system, x0_host, dtype,
+                snapshot_cb=snap_cb if cfg.snapshots else None,
+            )
+            if not cfg.snapshots:
+                writer.write_solution(
+                    x_host, system.free_to_node, int(result.iterations)
+                )
             writer.close()
         else:
             from ..ops import choose_operator
@@ -245,7 +255,7 @@ def _make_precond(cfg, A, system):
     raise ValueError(cfg.precond)
 
 
-def _solve_sharded(cfg, system, x0_host, dtype):
+def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
     import jax.numpy as jnp
     import numpy as np
 
@@ -279,15 +289,45 @@ def _solve_sharded(cfg, system, x0_host, dtype):
             op, b, x0, precond_diag=inv_d, restart=cfg.restart,
             tol=cfg.tolerance, maxiter=cfg.iterations,
         )
-    else:
-        # For the graph Laplacian, D^-1 A = I - D^-1 Adj has spectrum in
-        # [0, 2], so lmax = 2 is an exact Chebyshev bound — no estimation
-        # pass needed for the distributed preconditioner.
-        cheb = 2.0 if cfg.precond == "chebyshev" else None
+        if snapshot_cb is not None:
+            snapshot_cb(int(result.iterations), op.get_vector(result.x))
+        return result, op.get_vector(result.x)
+
+    # For the graph Laplacian, D^-1 A = I - D^-1 Adj has spectrum in
+    # [0, 2], so lmax = 2 is an exact Chebyshev bound — no estimation
+    # pass needed for the distributed preconditioner.
+    cheb = 2.0 if cfg.precond == "chebyshev" else None
+    if snapshot_cb is None:
         result = sharded_cg_solve(
             op, b, x0, precond_diag=inv_d, cheb_lmax=cheb,
             tol=cfg.tolerance, maxiter=cfg.iterations,
         )
+        return result, op.get_vector(result.x)
+
+    # Snapshot mode: chunked solves threading the exact CG state between
+    # chunks — one distributed gather + Exodus timestep per chunk (the
+    # reference's per-iteration writeSolution, ``BelosMueLuSolver.cpp:
+    # 112-133``) at a configurable cadence (--reportAfterIterations), with
+    # NO Krylov restart penalty.
+    from ..parallel import sharded_cg_chunk
+
+    chunk = max(1, cfg.report_after_iterations)
+    x_cur = x0
+    state = None
+    total = 0
+    result = None
+    while total < cfg.iterations:
+        step = min(chunk, cfg.iterations - total)
+        result, state = sharded_cg_chunk(
+            op, b, x_cur, state, precond_diag=inv_d, cheb_lmax=cheb,
+            tol=cfg.tolerance, maxiter=step,
+        )
+        x_cur = result.x
+        total += max(int(result.iterations), 1)
+        snapshot_cb(total, op.get_vector(x_cur))
+        if bool(result.converged):
+            break
+    result = dataclasses_replace_iters(result, total)
     return result, op.get_vector(result.x)
 
 

@@ -17,6 +17,7 @@ from .slab import SlabDIAPlan, build_slab_plan, slab_cg_solve
 from .sharded import (
     ShardedOperator,
     make_device_mesh,
+    sharded_cg_chunk,
     sharded_cg_solve,
     sharded_gmres_solve,
     sharded_power_method,
@@ -41,6 +42,7 @@ __all__ = [
     "slab_cg_solve",
     "ShardedOperator",
     "make_device_mesh",
+    "sharded_cg_chunk",
     "sharded_cg_solve",
     "sharded_gmres_solve",
     "sharded_power_method",

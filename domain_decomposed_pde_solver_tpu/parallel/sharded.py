@@ -190,6 +190,83 @@ def sharded_cg_solve(
     return CGResult(x=x, iterations=iters, relres=relres, converged=conv)
 
 
+def sharded_cg_chunk(
+    op: ShardedOperator,
+    b: jax.Array,
+    x: jax.Array,
+    state,  # None or (r, p, rz) sharded arrays from the previous chunk
+    *,
+    precond_diag: Optional[jax.Array] = None,
+    cheb_lmax: Optional[float] = None,
+    cheb_degree: int = 4,
+    tol: float = 1e-14,
+    maxiter: int = 50,
+):
+    """One chunk of distributed CG, continuing exactly from ``state``.
+
+    Returns ``(CGResult, new_state)``; drive it in a host loop to snapshot
+    every chunk while keeping one continuous Krylov recurrence."""
+    from ..solvers.cg import cg_solve_with_state
+
+    have_M = precond_diag is not None
+    have_state = state is not None
+
+    def body(cols, vals, send_idx, b_blk, x_blk, *rest):
+        blk = BlockOperator(cols[0], vals[0], send_idx[0])
+        rest = list(rest)
+        M = None
+        if have_M:
+            inv_d = rest.pop(0)[0]
+            if cheb_lmax is not None:
+                from ..solvers.precond.chebyshev import ChebyshevPreconditioner
+
+                M = ChebyshevPreconditioner(
+                    A=blk, inv_diag=inv_d,
+                    lmax=jnp.asarray(cheb_lmax, b_blk.dtype), degree=cheb_degree,
+                )
+            else:
+                M = DiagonalPreconditioner(inv_d)
+        st = None
+        if have_state:
+            r_blk, p_blk, rz = rest
+            st = (r_blk[0], p_blk[0], rz)
+        res, (r, p, rz) = cg_solve_with_state(
+            blk, b_blk[0], x_blk[0], state=st, precond=M, tol=tol,
+            maxiter=maxiter, dot=_psum_dot,
+        )
+        return (
+            res.x[None], res.iterations, res.relres, res.converged,
+            r[None], p[None], rz,
+        )
+
+    vectors = [b, x]
+    if have_M:
+        vectors.append(precond_diag)
+    if have_state:
+        r_s, p_s, rz_s = state
+        vectors += [r_s, p_s, rz_s]
+    n_args = 3 + len(vectors)
+    if have_state:
+        # Last arg (rz) is a replicated scalar, not sharded.
+        in_specs = (P(AXIS),) * (n_args - 1) + (P(),)
+    else:
+        in_specs = (P(AXIS),) * n_args
+    fn = jax.shard_map(
+        body,
+        mesh=op.mesh,
+        in_specs=in_specs,
+        out_specs=(P(AXIS), P(), P(), P(), P(AXIS), P(AXIS), P()),
+        check_vma=False,
+    )
+    x2, iters, relres, conv, r2, p2, rz2 = fn(
+        op.cols, op.vals, op.send_idx, *vectors
+    )
+    return (
+        CGResult(x=x2, iterations=iters, relres=relres, converged=conv),
+        (r2, p2, rz2),
+    )
+
+
 def sharded_gmres_solve(
     op: ShardedOperator,
     b: jax.Array,

@@ -1,7 +1,13 @@
 """Krylov solvers, eigen utilities, and preconditioners."""
 
 from .bicgstab import BiCGStabResult, bicgstab_solve
-from .cg import CGResult, cg_solve, cg_solve_resumable, cg_solve_snapshots
+from .cg import (
+    CGResult,
+    cg_solve,
+    cg_solve_resumable,
+    cg_solve_snapshots,
+    cg_solve_with_state,
+)
 from .gmres import GMRESResult, gmres_solve
 from .mixed import MixedSolveResult, iterative_refinement_solve
 from .power import PowerResult, power_method
@@ -20,6 +26,7 @@ __all__ = [
     "cg_solve",
     "cg_solve_snapshots",
     "cg_solve_resumable",
+    "cg_solve_with_state",
     "GMRESResult",
     "gmres_solve",
     "PowerResult",

@@ -62,7 +62,6 @@ class CGResult:
     converged: jax.Array  # bool
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "dot"))
 def cg_solve(
     A: Any,
     b: jax.Array,
@@ -81,39 +80,63 @@ def cg_solve(
     (``BelosMueLuSolver.cpp:101-106``).  ``dot`` is injectable so the sharded
     path can supply a psum-reducing dot.
     """
+    result, _ = cg_solve_with_state(
+        A, b, x0, precond=precond, tol=tol, maxiter=maxiter, dot=dot
+    )
+    return result
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "dot"))
+def cg_solve_with_state(
+    A: Any,
+    b: jax.Array,
+    x0: jax.Array,
+    *,
+    state: Any = None,  # None or (r, p, rz) to continue a prior run exactly
+    precond: Any = None,
+    tol: float = 1e-14,
+    maxiter: int = 300,
+    dot: Callable = jnp.vdot,
+):
+    """Like :func:`cg_solve` but returns (result, (r, p, rz)) and can resume
+    from a prior state — the building block for chunked solves that snapshot
+    between chunks *without* restarting the Krylov recurrence (what the
+    reference's reset-per-iteration loop destroys,
+    ``BelosMueLuSolver.cpp:112-133``)."""
     M = precond if precond is not None else IdentityPrecond()
     bnorm = jnp.sqrt(dot(b, b))
     bnorm = jnp.where(bnorm == 0, jnp.asarray(1.0, b.dtype), bnorm)
     target = jnp.asarray(tol, b.dtype) * bnorm
 
-    r0 = b - A.matvec(x0)
-    z0 = M(r0)
-    p0 = z0
-    rz0 = dot(r0, z0)
+    if state is None:
+        r0 = b - A.matvec(x0)
+        z0 = M(r0)
+        p0 = z0
+        rz0 = dot(r0, z0)
+    else:
+        r0, p0, rz0 = state
     rnorm0 = jnp.sqrt(dot(r0, r0))
 
-    def cond(state):
-        _, _, _, _, rnorm, k = state
-        return jnp.logical_and(rnorm > target, k < maxiter)
+    def cond(s):
+        return jnp.logical_and(s[4] > target, s[5] < maxiter)
 
-    def body(state):
-        x, r, p, rz, _, k = state
+    def body(s):
+        x, r, p, rz, _, k = s
         Ap = A.matvec(p)
         alpha = rz / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         rz_new = dot(r, z)
-        beta = rz_new / rz
-        p = z + beta * p
-        rnorm = jnp.sqrt(dot(r, r))
-        return (x, r, p, rz_new, rnorm, k + 1)
+        p = z + rz_new / rz * p
+        return (x, r, p, rz_new, jnp.sqrt(dot(r, r)), k + 1)
 
     x, r, p, rz, rnorm, k = jax.lax.while_loop(
         cond, body, (x0, r0, p0, rz0, rnorm0, jnp.int32(0))
     )
-    return CGResult(
-        x=x, iterations=k, relres=rnorm / bnorm, converged=rnorm <= target
+    return (
+        CGResult(x=x, iterations=k, relres=rnorm / bnorm, converged=rnorm <= target),
+        (r, p, rz),
     )
 
 
