@@ -283,7 +283,17 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
     op = ShardedOperator.from_plan(plan, make_device_mesh(cfg.partitions))
     b = op.put_vector(system.b)
     x0 = op.put_vector(x0_host)
-    inv_d = op.put_vector(1.0 / system.degree)
+    # Honor --precond: none disables preconditioning; amg has no distributed
+    # implementation yet, so downgrade explicitly rather than silently.
+    if cfg.precond == "none":
+        inv_d = None
+    else:
+        if cfg.precond == "amg":
+            print(
+                "warning: --precond amg is not yet distributed; "
+                "using Jacobi for the multi-device solve"
+            )
+        inv_d = op.put_vector(1.0 / system.degree)
     if cfg.solver == "gmres":
         result = sharded_gmres_solve(
             op, b, x0, precond_diag=inv_d, restart=cfg.restart,

@@ -48,18 +48,10 @@ def box_mesh(
     ``bc_ids[1]`` on the x=1 face (cf. tet-cube-heat's two 645-node sets).
     """
     mx, my, mz = nx + 1, ny + 1, nz + 1
-    # Node numbering: x fastest (i + j*mx + k*mx*my).
+    # Node numbering: x fastest (node id = i + j*mx + k*mx*my).
     xs = np.linspace(0.0, 1.0, mx)
     ys = np.linspace(0.0, 1.0, my)
     zs = np.linspace(0.0, 1.0, mz)
-    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
-    # Order must follow node id = i + j*mx + k*mx*my -> transpose to (k,j,i).
-    coords = np.stack(
-        [X.transpose(2, 1, 0).ravel(), Y.transpose(2, 1, 0).ravel(),
-         Z.transpose(2, 1, 0).ravel()],
-        axis=1,
-    )
-    # Recompute cleanly: iterate k, j, i with i fastest.
     ii, jj, kk = np.meshgrid(
         np.arange(mx), np.arange(my), np.arange(mz), indexing="ij"
     )

@@ -258,6 +258,16 @@ class _ExodusFileBuilder:
     def __init__(self, path: str, mesh: MeshModel, num_nodal_vars: int = 0,
                  nodal_var_names: Optional[Sequence[str]] = None,
                  title: Optional[str] = None):
+        # Empty node/side sets cannot be represented (a zero-size netCDF
+        # dimension would read back as a phantom [-1] entry); they carry no
+        # information, so drop them from the written file.
+        import dataclasses as _dc
+
+        mesh = _dc.replace(
+            mesh,
+            node_sets=[ns for ns in mesh.node_sets if ns.nodes.size],
+            side_sets=[ss for ss in mesh.side_sets if ss.elems.size],
+        )
         self.mesh = mesh
         self.num_nodal_vars = num_nodal_vars
         self.nodal_var_names = list(nodal_var_names or [])

@@ -88,13 +88,12 @@ def splitell_from_csr(
     kmax = int(lens.max()) if n_rows else 1
     n_pad = pad_to(max(n_rows, 1), row_multiple)
 
-    # Choose the cost-minimizing cap.
+    # Choose the cost-minimizing cap.  overflow(K) = sum_r max(len_r - K, 0)
+    # via suffix sums of the row-length histogram: O(kmax), not O(kmax * n).
     ks = np.arange(1, kmax + 1)
-    hist = np.bincount(lens, minlength=kmax + 1)
-    # overflow(K) = sum over rows of max(len-K, 0) — suffix sums of hist.
-    tail_counts = np.array(
-        [int(np.maximum(lens - k, 0).sum()) for k in ks]
-    )
+    hist = np.bincount(lens, minlength=kmax + 2)
+    rows_longer = np.cumsum(hist[::-1])[::-1]  # rows with len >= index
+    tail_counts = np.array([int(rows_longer[k + 1 :].sum()) for k in ks])
     cost = n_pad * ks + 2 * tail_counts
     K = int(ks[np.argmin(cost)])
 

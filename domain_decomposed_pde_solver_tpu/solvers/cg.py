@@ -172,14 +172,28 @@ def cg_solve_resumable(
     ``(x, r, p, rz, k)`` fully determines the remaining iterations, so a
     resumed run is identical to an uninterrupted one.
     """
+    import hashlib
+
     import numpy as np
 
     from ..utils.checkpoint import CGCheckpoint, load_checkpoint, save_checkpoint
 
     M = precond if precond is not None else IdentityPrecond()
     bnorm = float(jnp.sqrt(dot(b, b))) or 1.0
+    # Problem fingerprint: resuming a checkpoint from a *different* system
+    # would silently converge to the wrong answer (the recurrence drives the
+    # stale residual to zero), so the RHS hash must match.
+    b_hash = hashlib.blake2b(
+        np.ascontiguousarray(np.asarray(b)).tobytes(), digest_size=16
+    ).hexdigest()
 
     ck = load_checkpoint(checkpoint_path)
+    if ck is not None and ck.meta.get("b_hash") not in (None, b_hash):
+        raise ValueError(
+            f"checkpoint {checkpoint_path!r} belongs to a different problem "
+            f"(RHS hash {ck.meta.get('b_hash')} != {b_hash}); delete it or "
+            "use a different --checkpoint path"
+        )
     if ck is not None and ck.x.shape == x0.shape:
         x = jnp.asarray(ck.x)
         r = jnp.asarray(ck.r)
@@ -204,7 +218,7 @@ def cg_solve_resumable(
                 CGCheckpoint(
                     x=np.asarray(x), r=np.asarray(r), p=np.asarray(p),
                     rz=float(rz), iteration=k,
-                    meta={"bnorm": bnorm, "tol": tol},
+                    meta={"bnorm": bnorm, "tol": tol, "b_hash": b_hash},
                 ),
             )
     return CGResult(

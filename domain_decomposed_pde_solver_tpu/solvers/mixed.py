@@ -92,6 +92,7 @@ def iterative_refinement_solve(
         refinements += 1
         new_relres = float(np.linalg.norm(b - A.matvec(x))) / bnorm
         if new_relres >= relres:  # stagnation at the f32 floor
+            x = x - d  # keep the better iterate; reported relres stays its
             break
         relres = new_relres
     return MixedSolveResult(

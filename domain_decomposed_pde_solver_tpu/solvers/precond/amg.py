@@ -203,6 +203,8 @@ class AMGPreconditioner:
 
     def _vcycle(self, k: int, b: jax.Array) -> jax.Array:
         if k == len(self.levels):
+            if self.coarse_inv.ndim == 1:  # diagonal fallback (stalled agg)
+                return self.coarse_inv * b
             return self.coarse_inv @ b
         lvl = self.levels[k]
         x = self._smooth(lvl, jnp.zeros_like(b), b)
@@ -286,19 +288,17 @@ def smoothed_aggregation_setup(
     if nc > max(4 * coarse_size, 512):
         # Aggregation stalled before reaching the target size; a dense
         # inverse at this size would be prohibitive.  Fall back to a Jacobi
-        # "coarse solve" (diagonal inverse) — the cycle stays a valid
+        # "coarse solve" stored as a 1-D inverse-diagonal vector (the
+        # V-cycle applies it elementwise) — the cycle stays a valid
         # preconditioner, just weaker on the coarsest level.
         n_pad_c = n_pads[-1]
         d = A_k.diagonal()
         d = np.where(d != 0, d, 1.0)
         coarse_inv_diag = np.ones(n_pad_c)
         coarse_inv_diag[:nc] = 1.0 / d
-        coarse_inv = jnp.asarray(
-            np.diag(coarse_inv_diag).astype(np.dtype(dtype))
-        )
         return AMGPreconditioner(
             levels=levels,
-            coarse_inv=coarse_inv,
+            coarse_inv=jnp.asarray(coarse_inv_diag.astype(np.dtype(dtype))),
             smoother=smoother,
             smooth_steps=smooth_steps,
         )

@@ -42,10 +42,13 @@ def _count_iters_scipy(A, b, M=None, tol=1e-10, maxiter=2000, restart=30):
 def compare_preconditioners(
     A: CSRMatrix, b: np.ndarray, tol: float = 1e-10, maxiter: int = 2000
 ) -> Dict[str, dict]:
-    """Iteration counts of CG under each preconditioner (host, f64).
+    """Iteration counts of GMRES(30) under each preconditioner (host, f64).
 
-    Returns ``{name: {"iterations": k, "converged": bool}}`` for
-    none / jacobi / ilu (scipy SuperLU ILU ~ the reference's ILUT) / amg.
+    GMRES is the reference's solver (``BelosMueLuSolver.cpp:105-106``) and
+    the only fair one here: ILU preconditioning is nonsymmetric, so CG
+    would be invalid for that row.  Returns
+    ``{name: {"iterations": k, "converged": bool}}`` for
+    none / jacobi / ilut (scipy SuperLU ILU ~ Ifpack2 ILUT) / amg.
     """
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
