@@ -283,17 +283,19 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
     op = ShardedOperator.from_plan(plan, make_device_mesh(cfg.partitions))
     b = op.put_vector(system.b)
     x0 = op.put_vector(x0_host)
-    # Honor --precond: none disables preconditioning; amg has no distributed
-    # implementation yet, so downgrade explicitly rather than silently.
+    # Honor --precond: none disables preconditioning; amg uses block-Schwarz
+    # (communication-free local V-cycles per device).
+    block_amg = None
     if cfg.precond == "none":
         inv_d = None
     else:
-        if cfg.precond == "amg":
-            print(
-                "warning: --precond amg is not yet distributed; "
-                "using Jacobi for the multi-device solve"
-            )
         inv_d = op.put_vector(1.0 / system.degree)
+        if cfg.precond == "amg" and cfg.solver != "gmres":
+            from ..parallel.schwarz import build_block_amg
+
+            block_amg = build_block_amg(A, plan, dtype=np.dtype(dtype))
+            if block_amg is None:
+                print("warning: block-AMG build failed; using Jacobi")
     if cfg.solver == "gmres":
         result = sharded_gmres_solve(
             op, b, x0, precond_diag=inv_d, restart=cfg.restart,
@@ -310,8 +312,18 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
     if snapshot_cb is None:
         result = sharded_cg_solve(
             op, b, x0, precond_diag=inv_d, cheb_lmax=cheb,
-            tol=cfg.tolerance, maxiter=cfg.iterations,
+            block_amg=block_amg, tol=cfg.tolerance, maxiter=cfg.iterations,
         )
+        return result, op.get_vector(result.x)
+
+    if block_amg is not None:
+        # Chunked state threading doesn't carry the block-AMG path yet; do
+        # one continuous solve and snapshot the final state.
+        result = sharded_cg_solve(
+            op, b, x0, precond_diag=inv_d, cheb_lmax=cheb,
+            block_amg=block_amg, tol=cfg.tolerance, maxiter=cfg.iterations,
+        )
+        snapshot_cb(int(result.iterations), op.get_vector(result.x))
         return result, op.get_vector(result.x)
 
     # Snapshot mode: chunked solves threading the exact CG state between

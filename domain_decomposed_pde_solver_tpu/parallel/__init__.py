@@ -13,6 +13,7 @@ from .partition import (
 from .halo import HaloPlan, build_halo_plan
 from .decompose import decompose_mesh, write_decomposition
 from .ownership import node_ownership_from_element_partition
+from .schwarz import build_block_amg
 from .slab import SlabDIAPlan, build_slab_plan, slab_cg_solve
 from .sharded import (
     ShardedOperator,
@@ -37,6 +38,7 @@ __all__ = [
     "decompose_mesh",
     "write_decomposition",
     "node_ownership_from_element_partition",
+    "build_block_amg",
     "SlabDIAPlan",
     "build_slab_plan",
     "slab_cg_solve",

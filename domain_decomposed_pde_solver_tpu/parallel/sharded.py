@@ -144,23 +144,28 @@ def sharded_cg_solve(
     precond_diag: Optional[jax.Array] = None,
     cheb_lmax: Optional[float] = None,
     cheb_degree: int = 4,
+    block_amg=None,
     tol: float = 1e-14,
     maxiter: int = 300,
 ) -> CGResult:
     """CG over the device mesh: the whole loop is one SPMD program.
 
-    Preconditioning: Jacobi via ``precond_diag`` (inverse diagonal, sharded);
-    passing ``cheb_lmax`` (e.g. from :func:`sharded_power_method` on
-    D^-1 A) upgrades it to distributed Chebyshev — each polynomial term is a
-    halo-exchange SpMV, so the preconditioner itself runs over ICI with no
-    extra machinery."""
+    Preconditioning options (strongest last):
+    - Jacobi via ``precond_diag`` (inverse diagonal, sharded);
+    - distributed Chebyshev via ``cheb_lmax`` (each polynomial term is a
+      halo-exchange SpMV, so it runs over ICI with no extra machinery);
+    - block-Schwarz AMG via ``block_amg`` (stacked per-part hierarchies
+      from :func:`.schwarz.build_block_amg`) — a communication-free local
+      V-cycle per device."""
     have_M = precond_diag is not None
+    have_amg = block_amg is not None
 
     def body(cols, vals, send_idx, b_blk, x_blk, *rest):
         op = BlockOperator(cols[0], vals[0], send_idx[0])
+        rest = list(rest)
         M = None
         if have_M:
-            inv_d = rest[0][0]
+            inv_d = rest.pop(0)[0]
             if cheb_lmax is not None:
                 from ..solvers.precond.chebyshev import ChebyshevPreconditioner
 
@@ -172,6 +177,9 @@ def sharded_cg_solve(
                 )
             else:
                 M = DiagonalPreconditioner(inv_d)
+        if have_amg:
+            M_stacked = rest.pop(0)
+            M = jax.tree_util.tree_map(lambda leaf: leaf[0], M_stacked)
         res = cg_solve(
             op, b_blk[0], x_blk[0], precond=M, tol=tol, maxiter=maxiter,
             dot=_psum_dot,
@@ -179,6 +187,7 @@ def sharded_cg_solve(
         return res.x[None], res.iterations, res.relres, res.converged
 
     vectors = (b, x0) + ((precond_diag,) if have_M else ())
+    vectors += ((block_amg,) if have_amg else ())
     fn = jax.shard_map(
         body,
         mesh=op.mesh,

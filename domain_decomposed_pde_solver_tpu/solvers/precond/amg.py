@@ -142,8 +142,8 @@ def _lmax_dinv_a_host(S) -> float:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["A", "P", "R", "inv_diag"],
-    meta_fields=["lmax", "n_rows"],
+    data_fields=["A", "P", "R", "inv_diag", "lmax"],
+    meta_fields=["n_rows"],
 )
 @dataclasses.dataclass
 class AMGLevel:
@@ -151,7 +151,7 @@ class AMGLevel:
     P: ELLMatrix  # prolongation: coarse -> this level
     R: ELLMatrix  # restriction: this level -> coarse (P^T)
     inv_diag: jax.Array  # 1/diag(A), padded with 1
-    lmax: float  # lambda_max(D^-1 A) for Chebyshev smoothing
+    lmax: jax.Array  # lambda_max(D^-1 A) for Chebyshev smoothing (scalar)
     n_rows: int
 
 
@@ -276,7 +276,7 @@ def smoothed_aggregation_setup(
             P=_repad(ell_from_csr(P_csr, dtype=dtype), n_pad_f),
             R=_repad(ell_from_csr(R_csr, dtype=dtype), n_pad_c),
             inv_diag=_inv_diag_padded(csr_k, n_pad_f, dtype),
-            lmax=float(lmax),
+            lmax=jnp.asarray(lmax, dtype),
             n_rows=A_k.shape[0],
         )
         levels.append(lvl)

@@ -161,3 +161,28 @@ def test_sharded_chebyshev_preconditioner(data_dir):
     x = op.get_vector(rc.x)
     xd = np.linalg.solve(sys_.A.to_dense(), sys_.b)
     assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-7
+
+
+def test_block_schwarz_amg(data_dir):
+    """Communication-free per-device AMG V-cycles: fewer iterations than
+    Jacobi (between Jacobi and global AMG, the classical Schwarz trade)."""
+    from domain_decomposed_pde_solver_tpu.parallel.schwarz import build_block_amg
+
+    _, sys_, adj, coords = make_system(data_dir)
+    nparts = 4
+    parts = partition_graph(adj, nparts, coords=coords)
+    plan = build_halo_plan(sys_.A, parts, nparts)
+    op = ShardedOperator.from_plan(plan, make_device_mesh(nparts))
+    b = op.put_vector(sys_.b)
+    inv_d = op.put_vector(1.0 / sys_.degree)
+    rj = sharded_cg_solve(op, b, jnp.zeros_like(b), precond_diag=inv_d,
+                          tol=1e-10, maxiter=3000)
+    M = build_block_amg(sys_.A, plan, dtype=jnp.float64)
+    assert M is not None
+    ra = sharded_cg_solve(op, b, jnp.zeros_like(b), block_amg=M,
+                          tol=1e-10, maxiter=1000)
+    assert bool(ra.converged)
+    assert int(ra.iterations) < int(rj.iterations)
+    x = op.get_vector(ra.x)
+    xd = np.linalg.solve(sys_.A.to_dense(), sys_.b)
+    assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-7
