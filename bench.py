@@ -126,10 +126,8 @@ def main():
     from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
     from domain_decomposed_pde_solver_tpu.ops import (
         choose_operator,
-        ell_from_csr,
         operator_bytes,
         pad_vector,
-        spmv_bytes,
     )
     from domain_decomposed_pde_solver_tpu.solvers import cg_solve, jacobi_preconditioner
 
@@ -145,19 +143,28 @@ def main():
     stream = measured_stream_gbps()
     extra["measured_stream_gbps"] = stream
 
-    # --- SpMV bandwidth on tet-cube-heat (unstructured; ELL) -------------
+    # --- SpMV on tet-cube-heat (unstructured; width-capped Split-ELL) ----
+    from domain_decomposed_pde_solver_tpu.ops.splitell import splitell_from_csr
+
     mesh = read_exodus(TET_CUBE)
     system = assemble_heat_system(mesh)
-    A = ell_from_csr(system.A, dtype=jnp.float32)
+    A = splitell_from_csr(system.A, dtype=jnp.float32)
     x = pad_vector(
         np.random.default_rng(0).standard_normal(A.n_pad).astype(np.float32),
         A.n_pad,
     )
     dt = time_spmv_loop(A, x, iters=64)
-    gbps = spmv_bytes(A) / dt / 1e9
+    # Payload accounting: dense part + tail triples + x/y.
+    payload = (
+        A.n_pad * A.row_width * 8
+        + int(A.tail_rows.shape[0]) * 12
+        + 2 * A.n_pad * 4
+    )
+    gbps = payload / dt / 1e9
     extra["spmv_us_tet_cube"] = dt * 1e6
     extra["spmv_gbps_tet_cube"] = gbps
-    extra["spmv_nnz"] = int(np.prod(A.cols.shape))
+    extra["spmv_format_tet_cube"] = "SplitELL"
+    extra["spmv_nnz"] = int(system.A.nnz)
 
     # --- ~1M DOF box (structured): auto format -> DIA (gather-free) ------
     mesh1m = box_mesh(100, 100, 100, elem_type="TETRA4")

@@ -15,6 +15,7 @@ slots are exact no-ops: zero matrix rows, unit diagonals).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import List, Optional
 
@@ -31,7 +32,58 @@ from ..solvers.precond.amg import (
 )
 from .halo import HaloPlan
 
-__all__ = ["build_block_amg"]
+__all__ = ["build_block_amg", "build_coarse_correction", "TwoLevelPrecond"]
+
+
+def build_coarse_correction(A: CSRMatrix, plan: HaloPlan) -> jax.Array:
+    """Nicolaides coarse space: one constant basis vector per part.
+
+    Returns ``inv(Z^T A Z)`` as a dense (P, P) array (tiny), where Z's p-th
+    column is the indicator of part p.  Used by :class:`TwoLevelPrecond` to
+    add the global coupling that pure block-Schwarz drops — the classical
+    two-level additive Schwarz construction that keeps iteration counts
+    bounded as the device count grows."""
+    P_ = plan.nparts
+    rows = np.repeat(np.arange(A.n_rows), A.row_lengths())
+    pr = plan.part_of_row[rows].astype(np.int64)
+    pc = plan.part_of_row[A.indices].astype(np.int64)
+    Ac = np.zeros((P_, P_))
+    np.add.at(Ac, (pr, pc), A.data)
+    # Graph Laplacians make Z^T A Z singular only when the whole system is
+    # (rows sum to zero); the reduced system has boundary mass, so Ac is
+    # SPD.  Regularize defensively for the full-Laplacian case.
+    Ac += 1e-12 * np.trace(Ac) / P_ * np.eye(P_)
+    return jnp.asarray(np.linalg.inv(Ac))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["local", "Ac_inv", "valid"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class TwoLevelPrecond:
+    """Block-Schwarz local cycle + global partition-constant coarse solve.
+
+    ``M(r) = M_local(r) + Z (Z^T A Z)^{-1} Z^T r`` — the coarse term costs
+    one all_gather of P scalars plus a (P, P) matvec, replicated on every
+    device.  Constructed *inside* the shard_map body (``local`` already
+    sliced to this device; ``valid`` masks real rows vs padding).
+    """
+
+    local: object
+    Ac_inv: jax.Array
+    valid: jax.Array
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        from .sharded import AXIS
+
+        x = self.local(r)
+        rbar = jnp.sum(r * self.valid)
+        rbars = jax.lax.all_gather(rbar, AXIS)  # (P,)
+        coef = self.Ac_inv @ rbars
+        p = jax.lax.axis_index(AXIS)
+        return x + coef[p] * self.valid
 
 
 def _local_diagonal_block(A: CSRMatrix, plan: HaloPlan, p: int) -> CSRMatrix:

@@ -145,6 +145,8 @@ def sharded_cg_solve(
     cheb_lmax: Optional[float] = None,
     cheb_degree: int = 4,
     block_amg=None,
+    coarse_inv: Optional[jax.Array] = None,
+    row_valid: Optional[jax.Array] = None,
     tol: float = 1e-14,
     maxiter: int = 300,
 ) -> CGResult:
@@ -156,9 +158,12 @@ def sharded_cg_solve(
       halo-exchange SpMV, so it runs over ICI with no extra machinery);
     - block-Schwarz AMG via ``block_amg`` (stacked per-part hierarchies
       from :func:`.schwarz.build_block_amg`) — a communication-free local
-      V-cycle per device."""
+      V-cycle per device; adding ``coarse_inv`` + ``row_valid`` (from
+      :func:`.schwarz.build_coarse_correction`) upgrades it to two-level
+      Schwarz (global partition-constant coarse correction)."""
     have_M = precond_diag is not None
     have_amg = block_amg is not None
+    have_coarse = coarse_inv is not None
 
     def body(cols, vals, send_idx, b_blk, x_blk, *rest):
         op = BlockOperator(cols[0], vals[0], send_idx[0])
@@ -180,6 +185,14 @@ def sharded_cg_solve(
         if have_amg:
             M_stacked = rest.pop(0)
             M = jax.tree_util.tree_map(lambda leaf: leaf[0], M_stacked)
+        if have_coarse:
+            from .schwarz import TwoLevelPrecond
+
+            Ac_inv = rest.pop(0)  # replicated (P, P)
+            valid = rest.pop(0)[0]
+            if M is None:
+                M = DiagonalPreconditioner(jnp.ones_like(b_blk[0]))
+            M = TwoLevelPrecond(local=M, Ac_inv=Ac_inv, valid=valid)
         res = cg_solve(
             op, b_blk[0], x_blk[0], precond=M, tol=tol, maxiter=maxiter,
             dot=_psum_dot,
@@ -188,10 +201,15 @@ def sharded_cg_solve(
 
     vectors = (b, x0) + ((precond_diag,) if have_M else ())
     vectors += ((block_amg,) if have_amg else ())
+    coarse_specs = ()
+    if have_coarse:
+        vectors += (coarse_inv, row_valid)
+        coarse_specs = (P(), P(AXIS))
+    n_sharded = 3 + len(vectors) - len(coarse_specs)
     fn = jax.shard_map(
         body,
         mesh=op.mesh,
-        in_specs=(P(AXIS),) * (3 + len(vectors)),
+        in_specs=(P(AXIS),) * n_sharded + coarse_specs,
         out_specs=(P(AXIS), P(), P(), P()),
         check_vma=False,
     )

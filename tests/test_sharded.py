@@ -186,3 +186,36 @@ def test_block_schwarz_amg(data_dir):
     x = op.get_vector(ra.x)
     xd = np.linalg.solve(sys_.A.to_dense(), sys_.b)
     assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-7
+
+
+def test_two_level_schwarz(data_dir):
+    """Two-level Schwarz (block-AMG + partition-constant coarse solve):
+    must stay correct and not regress the one-level iteration count."""
+    import jax
+    from jax.sharding import NamedSharding
+    from domain_decomposed_pde_solver_tpu.parallel.schwarz import (
+        build_block_amg,
+        build_coarse_correction,
+    )
+
+    _, sys_, adj, coords = make_system(data_dir)
+    nparts = 4
+    parts = partition_graph(adj, nparts, coords=coords)
+    plan = build_halo_plan(sys_.A, parts, nparts)
+    op = ShardedOperator.from_plan(plan, make_device_mesh(nparts))
+    b = op.put_vector(sys_.b)
+    M = build_block_amg(sys_.A, plan, dtype=jnp.float64)
+    Ac_inv = build_coarse_correction(sys_.A, plan)
+    valid = jax.device_put(
+        plan.row_valid.astype(np.float64), NamedSharding(op.mesh, P("parts"))
+    )
+    r1 = sharded_cg_solve(op, b, jnp.zeros_like(b), block_amg=M,
+                          tol=1e-10, maxiter=1000)
+    r2 = sharded_cg_solve(op, b, jnp.zeros_like(b), block_amg=M,
+                          coarse_inv=Ac_inv, row_valid=valid,
+                          tol=1e-10, maxiter=1000)
+    assert bool(r2.converged)
+    assert int(r2.iterations) <= int(r1.iterations)
+    x = op.get_vector(r2.x)
+    xd = np.linalg.solve(sys_.A.to_dense(), sys_.b)
+    assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-7
