@@ -271,7 +271,14 @@ class _ExodusFileBuilder:
         self.mesh = mesh
         self.num_nodal_vars = num_nodal_vars
         self.nodal_var_names = list(nodal_var_names or [])
-        self.nc = netcdf_file(path, "w", version=1)
+        # netCDF3 classic caps any one variable near 2 GB; switch to the
+        # 64-bit-offset variant for meshes that could breach it (large
+        # connectivity or many-node nodal-variable records).
+        approx_bytes = 8 * mesh.num_nodes * max(3, num_nodal_vars) + sum(
+            4 * b.conn.size for b in mesh.blocks
+        )
+        version = 2 if approx_bytes > (1 << 31) - (1 << 27) else 1
+        self.nc = netcdf_file(path, "w", version=version)
         self._define(title if title is not None else mesh.title)
         self._fill()
 
