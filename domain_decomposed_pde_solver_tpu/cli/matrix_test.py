@@ -69,14 +69,30 @@ def main(argv=None) -> int:
 
         A = ell_from_csr(L, dtype=jnp.float64)
         z0 = pad_vector(z0_host, A.n_pad)
-        res = power_method(
-            A, z0, maxiter=args.iterations,
-            tol=args.tolerance, check_every=args.reportFrequency,
-        )
+        # Chunked so intermediate lambda estimates print every
+        # reportFrequency iterations, like the reference
+        # (``ExodusMatrixTest.cpp:95-107``).
+        done = 0
+        z = z0
+        res = None
+        while done < args.iterations:
+            step = min(args.reportFrequency, args.iterations - done)
+            res = power_method(
+                A, z, maxiter=step, tol=args.tolerance, check_every=step
+            )
+            z = res.eigenvector
+            done += max(int(res.iterations), 1)
+            print(
+                f"  iteration {done}: lambda ~= {float(res.eigenvalue):.10g} "
+                f"residual {float(res.residual):.3e}"
+            )
+            if bool(res.converged):
+                break
 
+    total = done if args.partitions <= 1 else int(res.iterations)
     print(
         f"lambda_max ~= {float(res.eigenvalue):.10g} after "
-        f"{int(res.iterations)} iterations (residual "
+        f"{total} iterations (residual "
         f"{float(res.residual):.3e}, converged={bool(res.converged)})"
     )
     return 0
