@@ -74,6 +74,22 @@ class DIAMatrix:
             y = y + self.data[d] * jnp.roll(x_padded, -off)
         return y
 
+    def matvec_sliced(self, x_padded: jax.Array) -> jax.Array:
+        """Same contract as :meth:`matvec` via one edge-padded ``x_ext`` and
+        static slices (a roll is two slices + concat; this variant gives the
+        compiler one contiguous buffer to window into — measure both on the
+        target device and pick)."""
+        h_neg = max(0, -min(self.offsets))
+        h_pos = max(0, max(self.offsets))
+        x_ext = jnp.pad(x_padded, (h_neg, h_pos))
+        y = jnp.zeros_like(x_padded)
+        n = self.n_pad
+        for d, off in enumerate(self.offsets):
+            y = y + self.data[d] * jax.lax.dynamic_slice(
+                x_ext, (h_neg + off,), (n,)
+            )
+        return y
+
     def diagonal_padded(self, fill: float = 1.0) -> jax.Array:
         if 0 in self.offsets:
             d = self.data[self.offsets.index(0)]

@@ -82,3 +82,16 @@ def test_operator_bytes_sane():
     ell = ell_from_csr(sys_.A, dtype=jnp.float32)
     # DIA payload must be smaller than ELL's (no index storage).
     assert operator_bytes(dia) < operator_bytes(ell)
+
+
+def test_dia_matvec_sliced_matches_roll():
+    mesh = box_mesh(7, 6, 5, elem_type="TETRA4")
+    sys_ = assemble_heat_system(mesh)
+    A = dia_from_csr(sys_.A, dtype=jnp.float64)
+    x = pad_vector(
+        np.random.default_rng(3).standard_normal(A.n_pad), A.n_pad
+    )
+    np.testing.assert_allclose(
+        np.asarray(A.matvec_sliced(x)), np.asarray(A.matvec(x)),
+        rtol=1e-14, atol=1e-12,
+    )
