@@ -144,6 +144,55 @@ def _lmax_dinv_a_host(S) -> float:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["agg", "tval", "scale", "A"],
+    meta_fields=["n_pad_c"],
+)
+@dataclasses.dataclass
+class FactoredProlongator:
+    """Smoothed prolongator applied in factored form.
+
+    ``P = (I - (omega/lmax) D^-1 A) T`` with T the tentative (aggregate
+    selection) operator.  Applying P explicitly as an ELL matrix costs
+    ~9 serialized gathers per fine row on TPU; the factored form costs ONE
+    gather (the selection) plus a fine-level A matvec — a large win when A
+    is DIA (gather-free).  Used for P and (via symmetry, A = A^T, D diag)
+    for R = P^T: ``R r = T^T (r - omega D^-1 A r)`` with T^T a segment-sum.
+    """
+
+    agg: jax.Array  # (n_pad_f,) aggregate id per fine row (0 on padding)
+    tval: jax.Array  # (n_pad_f,) tentative weight (0 on padding)
+    scale: jax.Array  # (n_pad_f,) omega/lmax * 1/diag (0 on padding)
+    A: object  # fine-level operator (DIA or ELL pytree with .matvec)
+    n_pad_c: int  # padded coarse length
+
+    def matvec(self, x_c: jax.Array) -> jax.Array:
+        t = self.tval * jnp.take(x_c, self.agg, axis=0)
+        return t - self.scale * self.A.matvec(t)
+
+    def rmatvec(self, r: jax.Array) -> jax.Array:
+        s = r - self.A.matvec(self.scale * r)
+        return jax.ops.segment_sum(
+            self.tval * s, self.agg, num_segments=self.n_pad_c
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["P"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class FactoredRestriction:
+    """R = P^T for a :class:`FactoredProlongator` (shares its arrays)."""
+
+    P: FactoredProlongator
+
+    def matvec(self, r: jax.Array) -> jax.Array:
+        return self.P.rmatvec(r)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["A", "P", "R", "inv_diag", "lmax"],
     meta_fields=["n_rows"],
 )
@@ -270,13 +319,38 @@ def smoothed_aggregation_setup(
         from ...ops.dia import choose_operator
 
         lvl_A = choose_operator(csr_k, dtype=dtype)
-        # Pad transfer operators to (n_pad_f x n_pad_c) shapes.
-        P_csr = _from_scipy(P)
-        R_csr = _from_scipy(R)
+        if isinstance(lvl_A, ELLMatrix):
+            lvl_A = _repad(lvl_A, n_pad_f)
+        from ...ops.dia import DIAMatrix
+
+        if isinstance(lvl_A, DIAMatrix):
+            # Factored transfers: P = (I - w D^-1 A) T applied as one
+            # selection gather + a gather-free DIA matvec — ~9x fewer
+            # serialized memory ops than the explicit ELL P/R.
+            n_f = A_k.shape[0]
+            agg_pad = np.zeros(n_pad_f, dtype=np.int32)
+            agg_pad[:n_f] = agg
+            tval_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
+            tval_pad[:n_f] = 1.0 / np.sqrt(counts[agg])
+            scale_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
+            scale_pad[:n_f] = (omega / lmax) / d
+            P_fact = FactoredProlongator(
+                agg=jnp.asarray(agg_pad),
+                tval=jnp.asarray(tval_pad),
+                scale=jnp.asarray(scale_pad),
+                A=lvl_A,
+                n_pad_c=n_pad_c,
+            )
+            P_op = P_fact
+            R_op = FactoredRestriction(P=P_fact)
+        else:
+            # Pad transfer operators to (n_pad_f x n_pad_c) shapes.
+            P_op = _repad(ell_from_csr(_from_scipy(P), dtype=dtype), n_pad_f)
+            R_op = _repad(ell_from_csr(_from_scipy(R), dtype=dtype), n_pad_c)
         lvl = AMGLevel(
-            A=_repad(lvl_A, n_pad_f) if isinstance(lvl_A, ELLMatrix) else lvl_A,
-            P=_repad(ell_from_csr(P_csr, dtype=dtype), n_pad_f),
-            R=_repad(ell_from_csr(R_csr, dtype=dtype), n_pad_c),
+            A=lvl_A,
+            P=P_op,
+            R=R_op,
             inv_diag=_inv_diag_padded(csr_k, n_pad_f, dtype),
             lmax=jnp.asarray(lmax, dtype),
             n_rows=A_k.shape[0],
