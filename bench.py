@@ -154,13 +154,7 @@ def main():
         A.n_pad,
     )
     dt = time_spmv_loop(A, x, iters=64)
-    # Payload accounting: dense part + tail triples + x/y.
-    payload = (
-        A.n_pad * A.row_width * 8
-        + int(A.tail_rows.shape[0]) * 12
-        + 2 * A.n_pad * 4
-    )
-    gbps = payload / dt / 1e9
+    gbps = operator_bytes(A) / dt / 1e9
     extra["spmv_us_tet_cube"] = dt * 1e6
     extra["spmv_gbps_tet_cube"] = gbps
     extra["spmv_format_tet_cube"] = "SplitELL"

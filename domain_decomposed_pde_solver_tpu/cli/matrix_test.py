@@ -74,7 +74,7 @@ def main(argv=None) -> int:
         # (``ExodusMatrixTest.cpp:95-107``).
         done = 0
         z = z0
-        res = None
+        res = power_method(A, z0, maxiter=0, tol=args.tolerance, check_every=1)
         while done < args.iterations:
             step = min(args.reportFrequency, args.iterations - done)
             res = power_method(

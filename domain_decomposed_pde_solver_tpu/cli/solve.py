@@ -290,12 +290,18 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
         inv_d = None
     else:
         inv_d = op.put_vector(1.0 / system.degree)
-        if cfg.precond == "amg" and cfg.solver != "gmres":
-            from ..parallel.schwarz import build_block_amg
+        if cfg.precond == "amg":
+            if cfg.solver == "gmres":
+                print(
+                    "warning: distributed block-AMG is CG-only; "
+                    "using Jacobi for the multi-device GMRES solve"
+                )
+            else:
+                from ..parallel.schwarz import build_block_amg
 
-            block_amg = build_block_amg(A, plan, dtype=np.dtype(dtype))
-            if block_amg is None:
-                print("warning: block-AMG build failed; using Jacobi")
+                block_amg = build_block_amg(A, plan, dtype=np.dtype(dtype))
+                if block_amg is None:
+                    print("warning: block-AMG build failed; using Jacobi")
     if cfg.solver == "gmres":
         result = sharded_gmres_solve(
             op, b, x0, precond_diag=inv_d, restart=cfg.restart,
@@ -319,6 +325,10 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
     if block_amg is not None:
         # Chunked state threading doesn't carry the block-AMG path yet; do
         # one continuous solve and snapshot the final state.
+        print(
+            "note: per-chunk snapshots are not yet supported with "
+            "distributed block-AMG; writing only the final state"
+        )
         result = sharded_cg_solve(
             op, b, x0, precond_diag=inv_d, cheb_lmax=cheb,
             block_amg=block_amg, tol=cfg.tolerance, maxiter=cfg.iterations,

@@ -143,11 +143,27 @@ def choose_operator(
     return ell_from_csr(csr, dtype=dtype)
 
 
-def operator_bytes(A: Union[DIAMatrix, ELLMatrix]) -> int:
-    """Minimum HBM traffic of one SpMV with this operator."""
+def operator_bytes(A) -> int:
+    """Minimum HBM traffic of one SpMV with this operator (DIA, ELL,
+    Split-ELL, or HYB)."""
     if isinstance(A, DIAMatrix):
         vb = A.data.dtype.itemsize
         return A.ndiags * A.n_pad * vb + 2 * A.n_pad * vb
+    from .splitell import SplitELLMatrix
+
+    if isinstance(A, SplitELLMatrix):
+        vb = A.vals.dtype.itemsize
+        ib = A.cols.dtype.itemsize
+        tail = int(A.tail_rows.shape[0])
+        return (
+            A.n_pad * A.row_width * (vb + ib)
+            + tail * (vb + 2 * ib)
+            + 2 * A.n_pad * vb
+        )
+    from .hyb import HYBMatrix
+
+    if isinstance(A, HYBMatrix):
+        return operator_bytes(A.dia) + operator_bytes(A.ell)
     from .spmv import spmv_bytes
 
     return spmv_bytes(A)

@@ -86,14 +86,15 @@ class TwoLevelPrecond:
         return x + coef[p] * self.valid
 
 
-def _local_diagonal_block(A: CSRMatrix, plan: HaloPlan, p: int) -> CSRMatrix:
+def _local_diagonal_block(
+    A: CSRMatrix, plan: HaloPlan, p: int, rows: np.ndarray,
+    pr: np.ndarray, pc: np.ndarray,
+) -> CSRMatrix:
     """Part p's rows/cols of A in part-local ordering (off-part entries
-    dropped), sized to the uniform padded local width ``plan.n_local``."""
-    rows = np.repeat(np.arange(A.n_rows), A.row_lengths())
-    keep = (
-        (plan.part_of_row[rows] == p)
-        & (plan.part_of_row[A.indices] == p)
-    )
+    dropped), sized to the uniform padded local width ``plan.n_local``.
+    ``rows``/``pr``/``pc`` are the hoisted O(nnz) expansions (computed once
+    by the caller, not per part)."""
+    keep = (pr == p) & (pc == p)
     lr = plan.local_of_row[rows[keep]]
     lc = plan.local_of_row[A.indices[keep]]
     # Padding rows (local slots beyond the part's real size) get a unit
@@ -150,13 +151,17 @@ def build_block_amg(
     the shard_map body to get the device-local preconditioner.  Returns
     None if a uniform structure could not be built (fall back to Jacobi).
     """
+    rows = np.repeat(np.arange(A.n_rows), A.row_lengths())
+    pr = plan.part_of_row[rows]
+    pc = plan.part_of_row[A.indices]
     parts_M: List[AMGPreconditioner] = []
     for p in range(plan.nparts):
-        local = _local_diagonal_block(A, plan, p)
+        local = _local_diagonal_block(A, plan, p, rows, pr, pc)
         parts_M.append(
             smoothed_aggregation_setup(
                 local, dtype=dtype, max_levels=max_levels,
-                coarse_size=coarse_size, **amg_kwargs,
+                coarse_size=coarse_size, factored_transfers=False,
+                **amg_kwargs,
             )
         )
     n_levels = min(len(m.levels) for m in parts_M)
@@ -165,10 +170,11 @@ def build_block_amg(
     # Rebuild any deeper hierarchies at the common depth.
     for p, m in enumerate(parts_M):
         if len(m.levels) != n_levels:
-            local = _local_diagonal_block(A, plan, p)
+            local = _local_diagonal_block(A, plan, p, rows, pr, pc)
             parts_M[p] = smoothed_aggregation_setup(
                 local, dtype=dtype, max_levels=n_levels + 1,
-                coarse_size=coarse_size, **amg_kwargs,
+                coarse_size=coarse_size, factored_transfers=False,
+                **amg_kwargs,
             )
             if len(parts_M[p].levels) != n_levels:
                 return None
@@ -181,9 +187,9 @@ def build_block_amg(
         lvls = [m.levels[l] for m in parts_M]
         npad_f = max(v.A.n_pad for v in lvls)
         npad_c = max(v.R.n_pad for v in lvls)
-        kA = max(v.A.row_width if isinstance(v.A, ELLMatrix) else 0 for v in lvls)
-        # DIA fine levels would need common offsets across parts; the
-        # uniform structure is ELL — convert any DIA level.
+        # DIA level operators would need common offsets across parts; the
+        # uniform structure is ELL — convert any DIA level.  (P/R are always
+        # explicit ELL here: setup ran with factored_transfers=False.)
         As = [a if isinstance(a, ELLMatrix) else _dia_to_ell(a) for a in
               (v.A for v in lvls)]
         kA = max(a.row_width for a in As)

@@ -130,16 +130,18 @@ def _lmax_dinv_a_host(S) -> float:
     rng = np.random.default_rng(0)
     q = rng.uniform(size=S.shape[0])
     lam = 1.0
-    # ~12 iterations give lmax to a few percent — ample for the smoothing
-    # bound (the Chebyshev interval already has 10% headroom).
-    for _ in range(12):
+    for _ in range(20):
         z = M @ q
         nz = np.linalg.norm(z)
         if nz == 0:
             return 1.0
         q = z / nz
         lam = q @ (M @ q)
-    return float(abs(lam))
+    # 5% safety factor: the power method underestimates lambda_max when the
+    # top eigenvalues cluster (measured 6-8% short at 20^3 boxes with few
+    # iterations); containment matters more than a slightly tighter
+    # Chebyshev interval.
+    return float(abs(lam)) * 1.05
 
 
 @partial(
@@ -278,6 +280,7 @@ def smoothed_aggregation_setup(
     coarse_size: int = 64,
     smoother: str = "chebyshev",
     smooth_steps: int = 2,
+    factored_transfers: bool = True,
 ) -> AMGPreconditioner:
     """Build the SA-AMG hierarchy from the host CSR operator.
 
@@ -323,7 +326,7 @@ def smoothed_aggregation_setup(
             lvl_A = _repad(lvl_A, n_pad_f)
         from ...ops.dia import DIAMatrix
 
-        if isinstance(lvl_A, DIAMatrix):
+        if isinstance(lvl_A, DIAMatrix) and factored_transfers:
             # Factored transfers: P = (I - w D^-1 A) T applied as one
             # selection gather + a gather-free DIA matvec — ~9x fewer
             # serialized memory ops than the explicit ELL P/R.
