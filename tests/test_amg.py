@@ -89,3 +89,36 @@ def test_amg_f32_preconditioner_f64_cg(data_dir):
     x = unpad_vector(res.x, sys_.n_free)
     xd = np.linalg.solve(sys_.A.to_dense(), sys_.b)
     assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-8
+
+
+def test_factored_transfers_match_explicit():
+    """The factored P=(I-wD^-1A)T application must equal the explicit ELL
+    P/R application to rounding error (same preconditioner, two encodings)."""
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import (
+        FactoredProlongator,
+    )
+
+    mesh = box_mesh(10, 9, 8, elem_type="TETRA4")
+    sys_ = assemble_heat_system(mesh)
+    M_fact = smoothed_aggregation_setup(sys_.A, dtype=jnp.float64)
+    M_expl = smoothed_aggregation_setup(
+        sys_.A, dtype=jnp.float64, factored_transfers=False
+    )
+    assert isinstance(M_fact.levels[0].P, FactoredProlongator)
+    assert not isinstance(M_expl.levels[0].P, FactoredProlongator)
+    lf, le = M_fact.levels[0], M_expl.levels[0]
+    rng = np.random.default_rng(0)
+    xc = jnp.asarray(rng.standard_normal(le.R.n_pad))
+    np.testing.assert_allclose(
+        np.asarray(lf.P.matvec(xc)), np.asarray(le.P.matvec(xc)),
+        rtol=1e-11, atol=1e-11,
+    )
+    rf = jnp.asarray(rng.standard_normal(lf.A.n_pad))
+    np.testing.assert_allclose(
+        np.asarray(lf.R.matvec(rf)), np.asarray(le.R.matvec(rf)),
+        rtol=1e-11, atol=1e-11,
+    )
+    # Whole-preconditioner action identical.
+    np.testing.assert_allclose(
+        np.asarray(M_fact(rf)), np.asarray(M_expl(rf)), rtol=1e-10, atol=1e-10
+    )
