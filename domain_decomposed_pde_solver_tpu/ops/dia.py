@@ -130,16 +130,25 @@ def dia_from_csr(
 
 def choose_operator(
     csr: CSRMatrix, dtype=jnp.float32, max_diags: int = 64
-) -> Union[DIAMatrix, ELLMatrix]:
+):
     """Pick the fastest device format for this matrix.
 
-    DIA wins when the diagonal count is small (stencil/structured meshes):
-    its traffic is ``ndiags * n`` values but zero gathers.  Otherwise ELL
-    (gathers, but traffic proportional to max row nnz).
+    - DIA when the diagonal count is small (stencil/structured meshes):
+      traffic is ``ndiags * n`` values but zero gathers;
+    - otherwise Split-ELL when capping the row width saves >= 10% of the
+      serialized memory ops (TPU gathers cost per padded slot);
+    - plain ELL as the fallback.
     """
     dia = dia_from_csr(csr, dtype=dtype, max_diags=max_diags)
     if dia is not None:
         return dia
+    from .splitell import splitell_from_csr
+
+    spl = splitell_from_csr(csr, dtype=dtype)
+    ops_spl = spl.n_pad * spl.row_width + 2 * int(spl.tail_rows.shape[0])
+    ops_ell = spl.n_pad * max(csr.max_row_nnz, 1)
+    if ops_spl <= 0.9 * ops_ell:
+        return spl
     return ell_from_csr(csr, dtype=dtype)
 
 

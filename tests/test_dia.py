@@ -45,12 +45,18 @@ def test_dia_diagonal_padded():
 
 
 def test_choose_operator_selects_by_structure(data_dir):
+    from domain_decomposed_pde_solver_tpu.ops import SplitELLMatrix
+
     box = assemble_heat_system(box_mesh(10, 10, 10, elem_type="TETRA4"))
     assert isinstance(choose_operator(box.A), DIAMatrix)
     unstructured = assemble_heat_system(
         read_exodus(str(data_dir / "tet-cube-heat.exo"))
     )
-    assert isinstance(choose_operator(unstructured.A), ELLMatrix)
+    # Tet meshes have high row-width variance -> the width-capped Split-ELL
+    # wins the op-count model over plain ELL.
+    assert isinstance(
+        choose_operator(unstructured.A), (ELLMatrix, SplitELLMatrix)
+    )
 
 
 def test_dia_refuses_unstructured(data_dir):
