@@ -119,6 +119,28 @@ def aggregate_greedy(A: CSRMatrix, theta: float = 0.0) -> np.ndarray:
     return agg
 
 
+def _filter_weak_entries(S, tol: float):
+    """Drop off-diagonal |a_ij| < tol*sqrt(a_ii a_jj), lumping the dropped
+    values into the diagonal (row sums preserved)."""
+    import scipy.sparse as sp
+
+    S = S.tocoo()
+    d = np.abs(S.tocsr().diagonal())
+    d = np.where(d != 0, d, 1.0)
+    weak = (S.row != S.col) & (
+        np.abs(S.data) < tol * np.sqrt(d[S.row] * d[S.col])
+    )
+    lump = np.zeros(S.shape[0])
+    np.add.at(lump, S.row[weak], S.data[weak])
+    keep = ~weak
+    out = sp.csr_matrix(
+        (S.data[keep], (S.row[keep], S.col[keep])), shape=S.shape
+    )
+    out = out + sp.diags(lump)
+    out.sum_duplicates()
+    return out.tocsr()
+
+
 def _lmax_dinv_a_host(S) -> float:
     """Power-method estimate of lambda_max(D^-1 A) on the host CSR."""
     import scipy.sparse as sp
@@ -281,6 +303,7 @@ def smoothed_aggregation_setup(
     smoother: str = "chebyshev",
     smooth_steps: int = 2,
     factored_transfers: bool = True,
+    filter_tol: float = 0.02,
 ) -> AMGPreconditioner:
     """Build the SA-AMG hierarchy from the host CSR operator.
 
@@ -314,6 +337,13 @@ def smoothed_aggregation_setup(
         R = P.T.tocsr()
         A_c = (R @ (A_k @ P)).tocsr()
         A_c.sum_duplicates()
+        if filter_tol > 0:
+            # Galerkin products densify coarse operators (row width ~4x the
+            # fine level); on TPU every stored entry costs a serialized
+            # gather, so drop weak couplings |a_ij| < tol*sqrt(a_ii a_jj)
+            # and lump them into the diagonal (preserves row sums, keeps
+            # the operator an M-matrix-like Laplacian).
+            A_c = _filter_weak_entries(A_c, filter_tol)
 
         n_pad_f = n_pads[-1]
         n_pad_c = pad_to(max(n_c, 1))
