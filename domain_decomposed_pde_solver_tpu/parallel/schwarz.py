@@ -161,7 +161,7 @@ def build_block_amg(
             smoothed_aggregation_setup(
                 local, dtype=dtype, max_levels=max_levels,
                 coarse_size=coarse_size, factored_transfers=False,
-                **amg_kwargs,
+                operator_format="ell", **amg_kwargs,
             )
         )
     n_levels = min(len(m.levels) for m in parts_M)
@@ -174,7 +174,7 @@ def build_block_amg(
             parts_M[p] = smoothed_aggregation_setup(
                 local, dtype=dtype, max_levels=n_levels + 1,
                 coarse_size=coarse_size, factored_transfers=False,
-                **amg_kwargs,
+                operator_format="ell", **amg_kwargs,
             )
             if len(parts_M[p].levels) != n_levels:
                 return None

@@ -304,6 +304,7 @@ def smoothed_aggregation_setup(
     smooth_steps: int = 2,
     factored_transfers: bool = True,
     filter_tol: float = 0.01,
+    operator_format: str = "auto",
 ) -> AMGPreconditioner:
     """Build the SA-AMG hierarchy from the host CSR operator.
 
@@ -351,9 +352,14 @@ def smoothed_aggregation_setup(
         n_pad_c = pad_to(max(n_c, 1))
         # Level operator: DIA when the level has stencil structure (the fine
         # level of generated/structured meshes) — gather-free smoothing.
-        from ...ops.dia import choose_operator
+        if operator_format == "ell":
+            # Plain ELL only (the block-Schwarz stacker needs uniform
+            # ELL structure across parts).
+            lvl_A = ell_from_csr(csr_k, dtype=dtype)
+        else:
+            from ...ops.dia import choose_operator
 
-        lvl_A = choose_operator(csr_k, dtype=dtype)
+            lvl_A = choose_operator(csr_k, dtype=dtype)
         if isinstance(lvl_A, ELLMatrix):
             lvl_A = _repad(lvl_A, n_pad_f)
         from ...ops.dia import DIAMatrix
