@@ -3,6 +3,7 @@
 from .heat import HeatSystem, assemble_heat_system, unique_element_edges
 from .laplacian import assemble_full_laplacian
 from .poisson_fem import assemble_poisson_fem
+from .transient import TransientResult, transient_heat_solve
 
 __all__ = [
     "HeatSystem",
@@ -10,4 +11,6 @@ __all__ = [
     "unique_element_edges",
     "assemble_full_laplacian",
     "assemble_poisson_fem",
+    "TransientResult",
+    "transient_heat_solve",
 ]
