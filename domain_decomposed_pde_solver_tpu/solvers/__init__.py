@@ -9,6 +9,7 @@ from .cg import (
     cg_solve_with_state,
 )
 from .gmres import GMRESResult, gmres_solve
+from .lanczos import LanczosResult, lanczos_extremes
 from .mixed import MixedSolveResult, iterative_refinement_solve
 from .power import PowerResult, power_method
 from .precond import (
@@ -28,6 +29,8 @@ __all__ = [
     "cg_solve_resumable",
     "cg_solve_with_state",
     "GMRESResult",
+    "LanczosResult",
+    "lanczos_extremes",
     "gmres_solve",
     "PowerResult",
     "power_method",

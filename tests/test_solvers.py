@@ -157,3 +157,19 @@ def test_cg_terminates_on_breakdown():
     res = cg_solve(A, b, jnp.zeros_like(b), tol=1e-12, maxiter=50)
     assert not bool(res.converged)
     assert int(res.iterations) <= 50
+
+
+def test_lanczos_spectrum_extremes(data_dir):
+    """Lanczos must recover both spectrum edges to high accuracy (vs the
+    power method, which only sees lambda_max and converges slowly)."""
+    from domain_decomposed_pde_solver_tpu.solvers.lanczos import lanczos_extremes
+
+    _, sys_, A, _ = setup_system(data_dir, "brick.exo")
+    rng = np.random.default_rng(0)
+    z0 = np.zeros(A.n_pad)
+    z0[: sys_.n_free] = rng.standard_normal(sys_.n_free)
+    res = lanczos_extremes(A, jnp.asarray(z0), k=60)
+    ev = np.linalg.eigvalsh(sys_.A.to_dense())
+    assert abs(float(res.lmax) - ev[-1]) / ev[-1] < 1e-6
+    assert abs(float(res.lmin) - ev[0]) / ev[0] < 0.05
+    assert abs(float(res.condition) - ev[-1] / ev[0]) / (ev[-1] / ev[0]) < 0.05
