@@ -29,3 +29,4 @@ Subpackages
 __version__ = "0.1.0"
 
 from . import io, models, ops, parallel, solvers, utils  # noqa: F401,E402
+from .api import SteadyHeatSolver  # noqa: F401,E402
