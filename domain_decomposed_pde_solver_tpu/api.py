@@ -17,13 +17,12 @@ start.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional
 
 import numpy as np
 
 from .io.mesh import MeshModel
-from .models.heat import HeatSystem, assemble_heat_system, unique_element_edges
+from .models.heat import HeatSystem, assemble_heat_system
 
 __all__ = ["SteadyHeatSolver"]
 
@@ -48,13 +47,10 @@ class SteadyHeatSolver:
         self._precond_kind = precond
         self._precond = self._build_precond(precond)
         self._last_x: Optional[np.ndarray] = None
-        # Precompute the boundary-edge structure for fast RHS reassembly:
-        # b[i] = sum over boundary neighbors c of value(c).
-        u, v = unique_element_edges(mesh)
-        free_mask = self.system.node_to_free >= 0
-        sel = free_mask[u] & ~free_mask[v]
-        self._b_rows = self.system.node_to_free[u[sel]]
-        self._b_cols = v[sel]  # boundary mesh nodes
+        # Boundary-edge structure for fast RHS reassembly (cached by the
+        # assembly; b[i] = sum over boundary neighbors c of value(c)).
+        self._b_rows = self.system.bdry_rows
+        self._b_cols = self.system.bdry_cols
 
     @classmethod
     def from_file(cls, path: str, **kw) -> "SteadyHeatSolver":
@@ -83,23 +79,38 @@ class SteadyHeatSolver:
         multiply-set nodes, ``ExodusIO.hpp:675-682``)."""
         if not bc:
             return self.system.b
-        _, bval = self.mesh.boundary_value_per_node()
+        self._check_bc_ids(bc)
+        # Rebuild bval for ALL sets (descending-id overwrite => ascending-id
+        # priority for multiply-set nodes, the reference's tie-break,
+        # ``ExodusIO.hpp:675-682``); overridden sets substitute their value.
+        bval = np.zeros(self.mesh.num_nodes)
         for ns in sorted(self.mesh.node_sets, key=lambda s: s.id, reverse=True):
-            if ns.id in bc:
-                # Same descending-overwrite trick as boundary_value_per_node:
-                # ascending-id priority for nodes in multiple sets.
-                bval[ns.nodes.astype(np.int64)] = float(bc[ns.id])
+            bval[ns.nodes.astype(np.int64)] = float(bc.get(ns.id, ns.id))
         b = np.zeros(self.system.n_free)
         np.add.at(b, self._b_rows, bval[self._b_cols])
         return b
 
+    def _check_bc_ids(self, bc: Dict[int, float]) -> None:
+        known = {ns.id for ns in self.mesh.node_sets}
+        unknown = set(bc) - known
+        if unknown:
+            raise ValueError(
+                f"bc references nodeset ids {sorted(unknown)} not present in "
+                f"the mesh (available: {sorted(known)})"
+            )
+
     def boundary_values_for(self, bc: Optional[Dict[int, float]] = None) -> np.ndarray:
         """Per-node values for Exodus timestep-0 output under ``bc``."""
-        vals = self.mesh.boundary_write_values()
         if bc:
-            for ns in sorted(self.mesh.node_sets, key=lambda s: s.id):
-                if ns.id in bc:
-                    vals[ns.nodes.astype(np.int64)] = float(bc[ns.id])
+            self._check_bc_ids(bc)
+        vals = np.zeros(self.mesh.num_nodes)
+        # Ascending-id overwrite => largest id wins for multiply-set nodes
+        # (the reference's write-side tie-break, ``ExodusIO.hpp:1979-1989``);
+        # all sets written so non-overridden ones keep their default.
+        for ns in sorted(self.mesh.node_sets, key=lambda s: s.id):
+            vals[ns.nodes.astype(np.int64)] = float(
+                (bc or {}).get(ns.id, ns.id)
+            )
         return vals
 
     def solve(
@@ -138,6 +149,7 @@ class SteadyHeatSolver:
         """Write ``u`` (free-node values) as an Exodus solution file."""
         from .io.exodus import ExodusSolutionWriter
 
-        with ExodusSolutionWriter(path, self.mesh) as w:
-            w._node_vals = self.boundary_values_for(bc)
+        with ExodusSolutionWriter(
+            path, self.mesh, boundary_values=self.boundary_values_for(bc)
+        ) as w:
             w.write_solution(u, self.system.free_to_node, timestep)

@@ -467,7 +467,8 @@ class ExodusSolutionWriter:
 
     def __init__(self, path: str, mesh: MeshModel,
                  var_name: str = "Steady-State Heat Solution",
-                 title: Optional[str] = None):
+                 title: Optional[str] = None,
+                 boundary_values: Optional["np.ndarray"] = None):
         self.mesh = mesh
         self.var_name = var_name
         self._builder = _ExodusFileBuilder(
@@ -476,7 +477,13 @@ class ExodusSolutionWriter:
         self.nc = self._builder.nc
         self._step = 0
         self._printed_time_zero = False
-        self._node_vals = mesh.boundary_write_values()
+        # boundary_values overrides the timestep-0 snapshot (per-node array;
+        # default = the reference's nodeset-id convention).
+        self._node_vals = (
+            np.asarray(boundary_values, dtype=np.float64).copy()
+            if boundary_values is not None
+            else mesh.boundary_write_values()
+        )
 
     def write_boundary_timestep(self) -> None:
         """Timestep index 0 at t=0: the boundary-condition snapshot."""

@@ -47,6 +47,11 @@ class HeatSystem:
     node_to_free: np.ndarray  # (num_nodes,) mesh node -> reduced idx, -1 if boundary
     degree: np.ndarray  # (n_free,) total degree (diag of A)
     mesh: Optional[MeshModel] = None
+    # Boundary-edge structure (free row, boundary mesh node) — lets callers
+    # rebuild the RHS for new Dirichlet values in O(nnz) without re-running
+    # edge extraction (see api.SteadyHeatSolver.rhs_for).
+    bdry_rows: Optional[np.ndarray] = None
+    bdry_cols: Optional[np.ndarray] = None
 
     @property
     def n_free(self) -> int:
@@ -166,4 +171,6 @@ def assemble_heat_system(mesh: MeshModel, dtype=np.float64) -> HeatSystem:
         node_to_free=node_to_free,
         degree=degree,
         mesh=mesh,
+        bdry_rows=np.ascontiguousarray(ru[bdry]),
+        bdry_cols=np.ascontiguousarray(v[bdry]),
     )

@@ -53,7 +53,9 @@ class ShiftedOperator:
         return x + self.dt * self.A.matvec(x)
 
     def diagonal_padded(self, fill: float = 1.0) -> jax.Array:
-        return 1.0 + self.dt * (self.A.diagonal_padded(fill=0.0))
+        d = 1.0 + self.dt * self.A.diagonal_padded(fill=0.0)
+        pad = jnp.arange(d.shape[0]) >= self.A.n_rows
+        return jnp.where(pad, jnp.asarray(fill, d.dtype), d)
 
 
 def transient_heat_solve(
@@ -105,11 +107,14 @@ def transient_heat_solve(
         total_iters += int(res.iterations)
         t += dt
         times.append(t)
-        u_host = unpad_vector(u, n)
-        if record:
-            hist.append(np.array(u_host))
-        if callback is not None:
-            callback(step, t, u_host)
+        if record or callback is not None:
+            # Device->host fetch only when someone consumes it (each fetch
+            # serializes the step against the host).
+            u_host = unpad_vector(u, n)
+            if record:
+                hist.append(np.array(u_host))
+            if callback is not None:
+                callback(step, t, u_host)
     return TransientResult(
         times=np.asarray(times),
         u=unpad_vector(u, n),

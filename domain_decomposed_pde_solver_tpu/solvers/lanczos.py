@@ -87,11 +87,21 @@ def lanczos_extremes(
 
     V, alphas, betas = jax.lax.fori_loop(0, k, body, (V, alphas, betas))
 
-    # Tridiagonal T: diag alphas, off-diag betas[:-1].
-    T = (
-        jnp.diag(alphas)
-        + jnp.diag(betas[: k - 1], 1)
-        + jnp.diag(betas[: k - 1], -1)
-    )
+    # Exact breakdown (beta_j ~ 0) means the Krylov space became invariant at
+    # step j: every later alpha/beta is noise from a re-normalized ~zero
+    # vector and would inject spurious Ritz values (e.g. lmin = 0).  Static
+    # shapes forbid truncating T, so mask instead: steps after the first
+    # tiny beta get diagonal alphas[0] — a Rayleigh quotient, which on an
+    # invariant subspace lies inside the captured Ritz interval, so the
+    # extremes are unchanged — and zero off-diagonals (decoupled).
+    scale = jnp.max(jnp.abs(alphas)) + jnp.max(betas)
+    tiny = jnp.finfo(dtype).eps * jnp.maximum(scale, 1.0)
+    brk = betas <= tiny  # breakdown at step j
+    valid = jnp.concatenate(
+        [jnp.ones(1, bool), jnp.cumsum(brk[:-1]) == 0]
+    )  # valid[j]: no breakdown strictly before step j
+    diag = jnp.where(valid, alphas, alphas[0])
+    off = jnp.where(valid[1:] & ~brk[: k - 1], betas[: k - 1], 0.0)
+    T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
     ritz = jnp.linalg.eigvalsh(T)
     return LanczosResult(lmin=ritz[0], lmax=ritz[-1], ritz_values=ritz)

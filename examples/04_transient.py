@@ -38,8 +38,9 @@ with ExodusSolutionWriter("/tmp/transient.exo", mesh) as writer:
     writer.write_boundary_timestep()
     res = transient_heat_solve(
         system, A, dt=0.2, n_steps=40, tol=1e-10,
+        # Physical time as the Exodus time value (writer floats it).
         callback=lambda k, t, u: writer.write_solution(
-            u, system.free_to_node, k
+            u, system.free_to_node, t
         ),
     )
 print(f"integrated 40 steps with {res.total_cg_iterations} total CG "
