@@ -61,7 +61,7 @@ def dia_spmv_pallas(
     n_round = n_grid * chunk
     x_ext = jnp.zeros(span_neg + n_round + span_pos, x_padded.dtype)
     x_ext = x_ext.at[span_neg : span_neg + n_pad].set(x_padded)
-    data = A.data
+    data = A.data.astype(x_padded.dtype)  # DIA storage may be narrower (bf16)
     if n_round != n_pad:
         data = jnp.pad(data, ((0, 0), (0, n_round - n_pad)))
 

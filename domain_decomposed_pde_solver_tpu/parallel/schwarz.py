@@ -127,7 +127,8 @@ def _dia_to_ell(d) -> ELLMatrix:
     cols = rows + offs
     valid = (cols >= 0) & (cols < n_pad)
     cols = jnp.clip(cols, 0, n_pad - 1).astype(jnp.int32)
-    vals = jnp.where(valid, d.data.T, 0)
+    # d.dtype is the compute dtype (DIA storage may be narrower, e.g. bf16).
+    vals = jnp.where(valid, d.data.T.astype(d.dtype), 0)
     return ELLMatrix(cols=cols, vals=vals, n_rows=d.n_rows, n_cols=d.n_rows)
 
 

@@ -90,7 +90,7 @@ def test_operator_bytes_sane():
     assert operator_bytes(dia) < operator_bytes(ell)
 
 
-def test_dia_matvec_sliced_matches_roll():
+def test_dia_matvec_roll_matches_windowed():
     mesh = box_mesh(7, 6, 5, elem_type="TETRA4")
     sys_ = assemble_heat_system(mesh)
     A = dia_from_csr(sys_.A, dtype=jnp.float64)
@@ -98,6 +98,41 @@ def test_dia_matvec_sliced_matches_roll():
         np.random.default_rng(3).standard_normal(A.n_pad), A.n_pad
     )
     np.testing.assert_allclose(
-        np.asarray(A.matvec_sliced(x)), np.asarray(A.matvec(x)),
+        np.asarray(A.matvec_roll(x)), np.asarray(A.matvec(x)),
         rtol=1e-14, atol=1e-12,
     )
+
+
+def test_dia_bf16_storage_is_bit_exact():
+    """Graph-Laplacian entries (integer degrees, -1s) round-trip bfloat16
+    exactly, so auto narrow storage must not change the matvec at all."""
+    mesh = box_mesh(9, 8, 7, elem_type="HEX8")
+    sys_ = assemble_heat_system(mesh)
+    A = dia_from_csr(sys_.A, dtype=jnp.float32)  # storage="auto" default
+    assert A.data.dtype == jnp.bfloat16
+    assert A.dtype == jnp.float32  # compute/vector dtype unchanged
+    full = dia_from_csr(sys_.A, dtype=jnp.float32, storage="full")
+    assert full.data.dtype == jnp.float32
+    x = pad_vector(
+        np.random.default_rng(1).standard_normal(A.n_pad).astype(np.float32),
+        A.n_pad,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(A.matvec(x)), np.asarray(full.matvec(x))
+    )
+    # Jacobi diagonal also comes back in compute precision.
+    assert A.diagonal_padded().dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(A.diagonal_padded()), np.asarray(full.diagonal_padded())
+    )
+    # Narrow storage must be reflected in the traffic model.
+    assert operator_bytes(A) < operator_bytes(full)
+
+
+def test_dia_bf16_rejected_for_inexact_entries():
+    mesh = box_mesh(6, 6, 6, elem_type="TETRA4")
+    sys_ = assemble_heat_system(mesh)
+    csr = sys_.A
+    csr.data = csr.data * 1.0000001  # not bf16-representable
+    A = dia_from_csr(csr, dtype=jnp.float32)
+    assert A.data.dtype == jnp.float32
