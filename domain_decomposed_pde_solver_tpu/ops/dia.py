@@ -131,11 +131,24 @@ def _bf16_exact(vals: np.ndarray) -> bool:
     """True iff every value survives a round-trip through bfloat16.
 
     Graph-Laplacian entries (integer degrees and -1s) always do; AMG
-    coarse/filtered operators generally don't, so they keep full storage."""
-    import ml_dtypes
+    coarse/filtered operators generally don't, so they keep full storage.
+    Bit-level check (bfloat16 is float32 with the low 16 mantissa bits
+    truncated, so exactness == those bits are zero) — ml_dtypes casts are
+    software-emulated and ~100x slower at 10M+ nnz.  A sampled prefix
+    short-circuits the common inexact case."""
 
-    rt = vals.astype(ml_dtypes.bfloat16).astype(np.float64)
-    return bool(np.array_equal(rt, vals.astype(np.float64)))
+    def _ok(chunk: np.ndarray) -> bool:
+        f32 = np.ascontiguousarray(chunk, dtype=np.float32)
+        if not np.array_equal(f32.astype(np.float64),
+                              np.asarray(chunk, dtype=np.float64)):
+            return False
+        bits = f32.view(np.uint32)
+        return bool(((bits & np.uint32(0xFFFF)) == 0).all())
+
+    head = min(4096, vals.size)
+    if not _ok(vals[:head]):
+        return False
+    return _ok(vals[head:]) if vals.size > head else True
 
 
 def dia_from_csr(
@@ -164,15 +177,18 @@ def dia_from_csr(
     dpos = np.searchsorted(uniq, offs)
     data[dpos, rows] = csr.data.astype(np.dtype(dtype))
     compute = ""
+    dev_data = jnp.asarray(data)
     if (
         storage == "auto"
         and np.dtype(dtype).itemsize > 2
         and _bf16_exact(csr.data)
     ):
-        data = data.astype(jnp.bfloat16)
+        # Cast via XLA (numpy's ml_dtypes bf16 cast is software-emulated
+        # and dominates setup time at 10M+ nnz).
+        dev_data = dev_data.astype(jnp.bfloat16)
         compute = np.dtype(dtype).name
     return DIAMatrix(
-        data=jnp.asarray(data),
+        data=dev_data,
         offsets=tuple(int(o) for o in uniq),
         n_rows=n,
         compute_dtype=compute,

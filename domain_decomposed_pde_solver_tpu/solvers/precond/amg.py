@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, List, Optional
+from typing import Callable, List, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -305,11 +305,29 @@ def smoothed_aggregation_setup(
     factored_transfers: bool = True,
     filter_tol: float = 0.01,
     operator_format: str = "auto",
+    aggressive_levels: Union[int, str] = "auto",
 ) -> AMGPreconditioner:
     """Build the SA-AMG hierarchy from the host CSR operator.
 
     Grid-transfer shapes are padded so that every level's vector length is a
     multiple of 8 and P/R map padded->padded (padding slots carry zeros).
+
+    ``aggressive_levels``: on the first k levels, compose TWO rounds of
+    greedy aggregation (aggregate the aggregate graph), squaring the
+    coarsening ratio (~15x -> ~200x in 3D).  Motivation is TPU-specific:
+    the finest level smooths gather-free (DIA), but level 1 is an
+    unstructured ELL whose gathers serialize — at 1M DOF the 69k-row
+    level-1 operator costs 18 ms/matvec and dominates the whole V-cycle
+    (135 ms).  Skipping straight to a ~5k-row level 1 trades a weaker
+    coarse correction (more CG iterations) for a far cheaper cycle; pair
+    with ``smooth_steps=3`` to claw back most of the iteration loss with
+    cheap fine-level matvecs (MueLu's aggressive-coarsening +
+    higher-degree-Chebyshev recipe).  ``"auto"`` (default) enables it for
+    one level exactly when the tradeoff pays: the finest operator has DIA
+    (stencil) structure and is large enough that level 1 would dominate
+    the cycle.  Measured at 1M DOF f32 on TPU v5e: hierarchy
+    [1M, 69k, 1.2k] -> [1M, 3k, 140], CG 7 -> 15 iterations but the
+    solve drops 1267 ms -> 376 ms (3.4x).
     """
     import scipy.sparse as sp
 
@@ -317,9 +335,32 @@ def smoothed_aggregation_setup(
     A_k = _to_scipy(A)
     n_pads = [pad_to(max(A.n_rows, 1))]
 
+    if aggressive_levels == "auto":
+        if operator_format != "ell" and A.n_rows > 200_000:
+            rows = np.repeat(np.arange(A.n_rows), A.row_lengths())
+            ndiags = np.unique(A.indices - rows).size
+            aggressive_levels = 1 if ndiags <= 64 else 0
+        else:
+            aggressive_levels = 0
+
     while A_k.shape[0] > coarse_size and len(levels) < max_levels - 1:
         csr_k = _from_scipy(A_k)
         agg = aggregate_greedy(csr_k, theta=theta)
+        if len(levels) < aggressive_levels:
+            n_c1 = int(agg.max()) + 1 if agg.size else 0
+            if 0 < n_c1 < A_k.shape[0]:
+                # Second round on the (unsmoothed) aggregate graph; compose.
+                T1 = sp.csr_matrix(
+                    (
+                        np.ones(A_k.shape[0]),
+                        (np.arange(A_k.shape[0]), agg),
+                    ),
+                    shape=(A_k.shape[0], n_c1),
+                )
+                G = (T1.T @ A_k @ T1).tocsr()
+                G.sum_duplicates()
+                agg2 = aggregate_greedy(_from_scipy(G), theta=theta)
+                agg = agg2[agg]
         n_c = int(agg.max()) + 1 if agg.size else 0
         if n_c >= A_k.shape[0] or n_c == 0:
             break  # aggregation stalled

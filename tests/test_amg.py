@@ -122,3 +122,35 @@ def test_factored_transfers_match_explicit():
     np.testing.assert_allclose(
         np.asarray(M_fact(rf)), np.asarray(M_expl(rf)), rtol=1e-10, atol=1e-10
     )
+
+
+def test_aggressive_coarsening_converges():
+    """aggressive_levels composes two aggregation rounds on the finest
+    level: much smaller level 1 (the TPU gather-bound level), solution
+    still correct to the CG tolerance."""
+    from domain_decomposed_pde_solver_tpu.ops import choose_operator
+
+    mesh = box_mesh(14, 14, 14, elem_type="TETRA4")
+    sys_ = assemble_heat_system(mesh)
+    M0 = smoothed_aggregation_setup(
+        sys_.A, dtype=jnp.float64, aggressive_levels=0
+    )
+    M1 = smoothed_aggregation_setup(
+        sys_.A, dtype=jnp.float64, aggressive_levels=1
+    )
+    # Two composed rounds coarsen much harder than one.
+    n1_normal = M0.levels[1].A.n_rows if len(M0.levels) > 1 else 0
+    n1_aggr = M1.levels[1].A.n_rows if len(M1.levels) > 1 else 0
+    if n1_normal and n1_aggr:
+        assert n1_aggr * 4 <= n1_normal
+    A = choose_operator(sys_.A, dtype=jnp.float64)
+    b = pad_vector(sys_.b, A.n_pad)
+    res = cg_solve(
+        A, b, jnp.zeros_like(b), precond=M1, tol=1e-12, maxiter=500
+    )
+    assert bool(res.converged)
+    import scipy.sparse.linalg as spla
+
+    xd = spla.spsolve(sys_.A.to_scipy().tocsc(), sys_.b)
+    x = unpad_vector(res.x, sys_.n_free)
+    assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-9
