@@ -208,9 +208,14 @@ def main():
 
     # --- CG+AMG solve time on the 1M-DOF box (the BASELINE metric) -------
     from domain_decomposed_pde_solver_tpu.solvers import smoothed_aggregation_setup
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import infer_free_grid
 
     t0 = time.perf_counter()
-    M1m = smoothed_aggregation_setup(sys1m.A, dtype=jnp.float32)
+    M1m = smoothed_aggregation_setup(
+        sys1m.A,
+        dtype=jnp.float32,
+        grid_dims=infer_free_grid(mesh1m, sys1m.free_to_node),
+    )
     extra["amg_setup_s_box1m"] = time.perf_counter() - t0
     b1m = pad_vector(sys1m.b.astype(np.float32), A1m.n_pad)
     b1s = b1m / float(np.abs(sys1m.b).max())

@@ -64,9 +64,16 @@ class SteadyHeatSolver:
         if kind == "jacobi":
             return jacobi_preconditioner(self.operator)
         if kind == "amg":
-            from .solvers.precond.amg import smoothed_aggregation_setup
+            from .solvers.precond.amg import (
+                infer_free_grid,
+                smoothed_aggregation_setup,
+            )
 
-            return smoothed_aggregation_setup(self.system.A, dtype=self.dtype)
+            return smoothed_aggregation_setup(
+                self.system.A,
+                dtype=self.dtype,
+                grid_dims=infer_free_grid(self.mesh, self.system.free_to_node),
+            )
         if kind == "none":
             return None
         raise ValueError(kind)

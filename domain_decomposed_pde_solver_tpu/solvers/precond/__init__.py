@@ -10,6 +10,7 @@ from .wrappers import CastPreconditioner
 from .amg import (
     AMGPreconditioner,
     aggregate_greedy,
+    infer_free_grid,
     smoothed_aggregation_preconditioner,
     smoothed_aggregation_setup,
 )
@@ -25,4 +26,5 @@ __all__ = [
     "aggregate_greedy",
     "smoothed_aggregation_preconditioner",
     "smoothed_aggregation_setup",
+    "infer_free_grid",
 ]

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, List, Optional, Union
+from typing import Callable, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,9 @@ __all__ = [
     "smoothed_aggregation_setup",
     "smoothed_aggregation_preconditioner",
     "aggregate_greedy",
+    "infer_free_grid",
+    "BrickProlongator",
+    "brick_aggregate",
 ]
 
 
@@ -217,6 +220,110 @@ class FactoredRestriction:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["tval", "scale", "A"],
+    meta_fields=["dims", "brick", "n_pad_c", "n_pad_f"],
+)
+@dataclasses.dataclass
+class BrickProlongator:
+    """Gather-free factored prolongator for lexicographic grids.
+
+    Same semantics as :class:`FactoredProlongator` with the aggregate id
+    fixed to bricks of ``brick^3`` grid nodes: the tentative transfer
+    ``T x_c`` becomes reshape + ``jnp.repeat`` (static counts — pure
+    broadcast, no gather) and ``T^T w`` becomes a reshape + block-sum
+    reduction (no segment_sum/scatter).  Motivation: on TPU the per-element
+    serialized gather/scatter of the general selection transfers costs
+    ~7 ns/row, so at 1M rows one R+P round trip (19.6 ms measured) was the
+    entire V-cycle; the brick form does the same algebra at VPU streaming
+    rate.  ``dims = (mx, my, mz)`` with fine index ``ix + mx*(iy + my*iz)``.
+    """
+
+    tval: jax.Array  # (n_pad_f,) tentative weight (0 on padding)
+    scale: jax.Array  # (n_pad_f,) omega/lmax * 1/diag (0 on padding)
+    A: object  # fine-level operator (DIA pytree with .matvec)
+    dims: Tuple[int, int, int]
+    brick: int
+    n_pad_c: int
+    n_pad_f: int
+
+    @property
+    def coarse_dims(self) -> Tuple[int, int, int]:
+        b = self.brick
+        mx, my, mz = self.dims
+        return (-(-mx // b), -(-my // b), -(-mz // b))
+
+    def _t_apply(self, x_c: jax.Array) -> jax.Array:
+        """T x_c: coarse vector -> fine vector (both padded)."""
+        mx, my, mz = self.dims
+        ncx, ncy, ncz = self.coarse_dims
+        b = self.brick
+        z = x_c[: ncx * ncy * ncz].reshape(ncz, ncy, ncx)
+        z = jnp.repeat(z, b, axis=0)[:mz]
+        z = jnp.repeat(z, b, axis=1)[:, :my]
+        z = jnp.repeat(z, b, axis=2)[:, :, :mx]
+        flat = z.reshape(-1)
+        flat = jnp.pad(flat, (0, self.n_pad_f - mx * my * mz))
+        return self.tval * flat
+
+    def _t_transpose(self, w: jax.Array) -> jax.Array:
+        """T^T w: fine vector -> coarse vector (both padded)."""
+        mx, my, mz = self.dims
+        ncx, ncy, ncz = self.coarse_dims
+        b = self.brick
+        tw = (self.tval * w)[: mx * my * mz].reshape(mz, my, mx)
+        tw = jnp.pad(
+            tw,
+            ((0, ncz * b - mz), (0, ncy * b - my), (0, ncx * b - mx)),
+        )
+        c = tw.reshape(ncz, b, ncy, b, ncx, b).sum(axis=(1, 3, 5))
+        flat = c.reshape(-1)
+        return jnp.pad(flat, (0, self.n_pad_c - ncx * ncy * ncz))
+
+    def matvec(self, x_c: jax.Array) -> jax.Array:
+        t = self._t_apply(x_c)
+        return t - self.scale * self.A.matvec(t)
+
+    def rmatvec(self, r: jax.Array) -> jax.Array:
+        s = r - self.A.matvec(self.scale * r)
+        return self._t_transpose(s)
+
+
+def brick_aggregate(dims: Tuple[int, int, int], brick: int) -> np.ndarray:
+    """Host-side aggregate ids for :class:`BrickProlongator`'s bricks."""
+    mx, my, mz = dims
+    b = brick
+    ncx, ncy = -(-mx // b), -(-my // b)
+    f = np.arange(mx * my * mz)
+    ix, rest = f % mx, f // mx
+    iy, iz = rest % my, rest // my
+    return (ix // b) + ncx * ((iy // b) + ncy * (iz // b))
+
+
+def infer_free_grid(mesh, free_to_node) -> Optional[Tuple[int, int, int]]:
+    """Detect a lexicographic free-node grid: returns (mx, my, mz) with
+    free index == ix + mx*(iy + my*iz), or None for unstructured meshes.
+
+    Host-side check over coordinate ranks (generated box meshes number
+    nodes x-fastest and Dirichlet elimination preserves order, so free
+    nodes of a box form exactly such a grid)."""
+    c = np.asarray(mesh.coords)[np.asarray(free_to_node)]
+    if c.shape[1] != 3:
+        return None
+    n = c.shape[0]
+    ux, uy, uz = (np.unique(c[:, k]) for k in range(3))
+    if ux.size * uy.size * uz.size != n:
+        return None
+    ix = np.searchsorted(ux, c[:, 0])
+    iy = np.searchsorted(uy, c[:, 1])
+    iz = np.searchsorted(uz, c[:, 2])
+    mx, my = ux.size, uy.size
+    if not np.array_equal(ix + mx * (iy + my * iz), np.arange(n)):
+        return None
+    return (int(ux.size), int(uy.size), int(uz.size))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["A", "P", "R", "inv_diag", "lmax"],
     meta_fields=["n_rows"],
 )
@@ -306,6 +413,8 @@ def smoothed_aggregation_setup(
     filter_tol: float = 0.01,
     operator_format: str = "auto",
     aggressive_levels: Union[int, str] = "auto",
+    grid_dims: Optional[Tuple[int, int, int]] = None,
+    brick: int = 6,
 ) -> AMGPreconditioner:
     """Build the SA-AMG hierarchy from the host CSR operator.
 
@@ -328,6 +437,13 @@ def smoothed_aggregation_setup(
     the cycle.  Measured at 1M DOF f32 on TPU v5e: hierarchy
     [1M, 69k, 1.2k] -> [1M, 3k, 140], CG 7 -> 15 iterations but the
     solve drops 1267 ms -> 376 ms (3.4x).
+
+    ``grid_dims``: if the fine free-node set is a lexicographic grid
+    (``infer_free_grid``), the aggressive finest level uses ``brick^3``
+    geometric aggregates and fully gather-free transfers
+    (:class:`BrickProlongator`) instead of greedy aggregation — the
+    transfer round trip falls from serialized-gather cost (19.6 ms at 1M
+    rows) to VPU streaming reshapes.
     """
     import scipy.sparse as sp
 
@@ -345,22 +461,32 @@ def smoothed_aggregation_setup(
 
     while A_k.shape[0] > coarse_size and len(levels) < max_levels - 1:
         csr_k = _from_scipy(A_k)
-        agg = aggregate_greedy(csr_k, theta=theta)
-        if len(levels) < aggressive_levels:
-            n_c1 = int(agg.max()) + 1 if agg.size else 0
-            if 0 < n_c1 < A_k.shape[0]:
-                # Second round on the (unsmoothed) aggregate graph; compose.
-                T1 = sp.csr_matrix(
-                    (
-                        np.ones(A_k.shape[0]),
-                        (np.arange(A_k.shape[0]), agg),
-                    ),
-                    shape=(A_k.shape[0], n_c1),
-                )
-                G = (T1.T @ A_k @ T1).tocsr()
-                G.sum_duplicates()
-                agg2 = aggregate_greedy(_from_scipy(G), theta=theta)
-                agg = agg2[agg]
+        use_brick = (
+            len(levels) == 0
+            and aggressive_levels >= 1
+            and grid_dims is not None
+            and int(np.prod(grid_dims)) == A_k.shape[0]
+        )
+        if use_brick:
+            agg = brick_aggregate(grid_dims, brick)
+        else:
+            agg = aggregate_greedy(csr_k, theta=theta)
+            if len(levels) < aggressive_levels:
+                n_c1 = int(agg.max()) + 1 if agg.size else 0
+                if 0 < n_c1 < A_k.shape[0]:
+                    # Second round on the (unsmoothed) aggregate graph;
+                    # compose.
+                    T1 = sp.csr_matrix(
+                        (
+                            np.ones(A_k.shape[0]),
+                            (np.arange(A_k.shape[0]), agg),
+                        ),
+                        shape=(A_k.shape[0], n_c1),
+                    )
+                    G = (T1.T @ A_k @ T1).tocsr()
+                    G.sum_duplicates()
+                    agg2 = aggregate_greedy(_from_scipy(G), theta=theta)
+                    agg = agg2[agg]
         n_c = int(agg.max()) + 1 if agg.size else 0
         if n_c >= A_k.shape[0] or n_c == 0:
             break  # aggregation stalled
@@ -410,19 +536,32 @@ def smoothed_aggregation_setup(
             # selection gather + a gather-free DIA matvec — ~9x fewer
             # serialized memory ops than the explicit ELL P/R.
             n_f = A_k.shape[0]
-            agg_pad = np.zeros(n_pad_f, dtype=np.int32)
-            agg_pad[:n_f] = agg
             tval_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
             tval_pad[:n_f] = 1.0 / np.sqrt(counts[agg])
             scale_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
             scale_pad[:n_f] = (omega / lmax) / d
-            P_fact = FactoredProlongator(
-                agg=jnp.asarray(agg_pad),
-                tval=jnp.asarray(tval_pad),
-                scale=jnp.asarray(scale_pad),
-                A=lvl_A,
-                n_pad_c=n_pad_c,
-            )
+            if use_brick:
+                # Geometric bricks: the selection gather/segment_sum
+                # become static reshapes — fully gather-free transfers.
+                P_fact = BrickProlongator(
+                    tval=jnp.asarray(tval_pad),
+                    scale=jnp.asarray(scale_pad),
+                    A=lvl_A,
+                    dims=tuple(int(v) for v in grid_dims),
+                    brick=brick,
+                    n_pad_c=n_pad_c,
+                    n_pad_f=n_pad_f,
+                )
+            else:
+                agg_pad = np.zeros(n_pad_f, dtype=np.int32)
+                agg_pad[:n_f] = agg
+                P_fact = FactoredProlongator(
+                    agg=jnp.asarray(agg_pad),
+                    tval=jnp.asarray(tval_pad),
+                    scale=jnp.asarray(scale_pad),
+                    A=lvl_A,
+                    n_pad_c=n_pad_c,
+                )
             P_op = P_fact
             R_op = FactoredRestriction(P=P_fact)
         else:

@@ -154,3 +154,53 @@ def test_aggressive_coarsening_converges():
     xd = spla.spsolve(sys_.A.to_scipy().tocsc(), sys_.b)
     x = unpad_vector(res.x, sys_.n_free)
     assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-9
+
+
+def test_brick_transfers_on_structured_grid():
+    """Gather-free brick transfers: same algebra as the factored selection
+    transfers, implemented as reshapes; P/R must stay exact transposes and
+    the preconditioned solve must reach the direct solution."""
+    import jax.numpy as jnp
+
+    from domain_decomposed_pde_solver_tpu.ops import choose_operator
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import (
+        BrickProlongator,
+        infer_free_grid,
+    )
+
+    mesh = box_mesh(14, 12, 13, elem_type="TETRA4")
+    sys_ = assemble_heat_system(mesh)
+    dims = infer_free_grid(mesh, sys_.free_to_node)
+    assert dims is not None and int(np.prod(dims)) == sys_.n_free
+    M = smoothed_aggregation_setup(
+        sys_.A, dtype=jnp.float64, aggressive_levels=1,
+        grid_dims=dims, brick=4,
+    )
+    P = M.levels[0].P
+    assert isinstance(P, BrickProlongator)
+    # R == P^T: <P xc, w> == <xc, R w> for random vectors.
+    rng = np.random.default_rng(0)
+    xc = jnp.asarray(rng.standard_normal(P.n_pad_c))
+    w = jnp.asarray(rng.standard_normal(P.n_pad_f))
+    lhs = float(jnp.vdot(P.matvec(xc), w))
+    rhs = float(jnp.vdot(xc, P.rmatvec(w)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+    A = choose_operator(sys_.A, dtype=jnp.float64)
+    b = pad_vector(sys_.b, A.n_pad)
+    res = cg_solve(A, b, jnp.zeros_like(b), precond=M, tol=1e-12, maxiter=500)
+    assert bool(res.converged)
+    import scipy.sparse.linalg as spla
+
+    xd = spla.spsolve(sys_.A.to_scipy().tocsc(), sys_.b)
+    x = unpad_vector(res.x, sys_.n_free)
+    assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-9
+
+
+def test_infer_free_grid_rejects_unstructured(data_dir):
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import (
+        infer_free_grid,
+    )
+
+    mesh = read_exodus(str(data_dir / "tet-cube-heat.exo"))
+    sys_ = assemble_heat_system(mesh)
+    assert infer_free_grid(mesh, sys_.free_to_node) is None
