@@ -251,7 +251,18 @@ def _make_precond(cfg, A, system):
         lmax = estimate_lmax_dinv_a(A)
         return chebyshev_preconditioner(A, lmax)
     if cfg.precond == "amg":
-        return smoothed_aggregation_setup(system.A, dtype=A.dtype)
+        from ..solvers.precond.amg import infer_free_grid
+
+        # Structured meshes get gather-free brick transfers (see
+        # precond/amg.py); unstructured meshes return None here.
+        dims = (
+            infer_free_grid(system.mesh, system.free_to_node)
+            if system.mesh is not None
+            else None
+        )
+        return smoothed_aggregation_setup(
+            system.A, dtype=A.dtype, grid_dims=dims
+        )
     raise ValueError(cfg.precond)
 
 

@@ -461,6 +461,19 @@ def smoothed_aggregation_setup(
 
     while A_k.shape[0] > coarse_size and len(levels) < max_levels - 1:
         csr_k = _from_scipy(A_k)
+        if (
+            len(levels) == 0
+            and grid_dims is not None
+            and int(np.prod(grid_dims)) != A_k.shape[0]
+        ):
+            import warnings
+
+            warnings.warn(
+                f"grid_dims {tuple(grid_dims)} does not match the operator "
+                f"size {A_k.shape[0]}; falling back to greedy aggregation "
+                f"(gathered transfers)",
+                stacklevel=2,
+            )
         use_brick = (
             len(levels) == 0
             and aggressive_levels >= 1
