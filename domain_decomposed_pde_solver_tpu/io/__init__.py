@@ -2,6 +2,7 @@
 
 from .mesh import ElemBlock, MeshModel, NodeSet, SideSet, elem_type_ncommon
 from .exodus import (
+    ExodusReadError,
     ExodusSolutionWriter,
     read_exodus,
     read_nodal_vars,
@@ -17,6 +18,7 @@ __all__ = [
     "NodeSet",
     "SideSet",
     "elem_type_ncommon",
+    "ExodusReadError",
     "read_exodus",
     "write_exodus",
     "read_nodal_vars",

@@ -27,7 +27,31 @@ from scipy.io import netcdf_file
 
 from .mesh import ElemBlock, MeshModel, NodeSet, SideSet
 
-__all__ = ["read_exodus", "write_exodus", "ExodusSolutionWriter", "read_nodal_vars"]
+__all__ = [
+    "read_exodus",
+    "write_exodus",
+    "ExodusSolutionWriter",
+    "read_nodal_vars",
+    "ExodusReadError",
+]
+
+
+class ExodusReadError(ValueError):
+    """A file exists but is not a readable Exodus-II/netCDF3 mesh.
+
+    Wraps the assorted low-level errors (scipy netcdf parse failures,
+    short reads from truncated files, missing dimensions) with the file
+    path, so callers and CLI users see one predictable exception type.
+    A missing file still raises ``FileNotFoundError``."""
+
+
+def _open_nc(path: str):
+    try:
+        return netcdf_file(path, "r", mmap=False)
+    except FileNotFoundError:
+        raise
+    except Exception as e:  # scipy raises TypeError/ValueError/struct.error
+        raise ExodusReadError(f"{path}: not a readable netCDF3 file ({e})") from e
 
 _EX_VERSION = np.float32(8.03)
 
@@ -51,8 +75,11 @@ def read_exodus(path: str) -> MeshModel:
     Mirrors the metadata reads of ``IO::assemble`` step 1
     (``ExodusIO.hpp:138-210``) and the full-copy reads of ``IO::decompose``
     (``ExodusIO.hpp:1520-1601``), done once instead of per-call.
+
+    Raises :class:`ExodusReadError` for corrupt/truncated files,
+    ``FileNotFoundError`` for missing ones.
     """
-    nc = netcdf_file(path, "r", mmap=False)
+    nc = _open_nc(path)
     try:
         dims = nc.dimensions
         num_nodes = int(dims["num_nodes"])
@@ -211,6 +238,14 @@ def read_exodus(path: str) -> MeshModel:
         )
         mesh.validate()
         return mesh
+    except ExodusReadError:
+        raise
+    except (KeyError, IndexError, ValueError, TypeError, OSError) as e:
+        # Truncated record sections surface as short-buffer/missing-dim
+        # errors deep inside scipy/numpy; rewrap with the path.
+        raise ExodusReadError(
+            f"{path}: corrupt or truncated Exodus file ({type(e).__name__}: {e})"
+        ) from e
     finally:
         nc.close()
 
@@ -221,7 +256,7 @@ def read_nodal_vars(path: str):
     Test/verification helper for the solution files our writer produces (the
     reference's per-timestep snapshots, ``ExodusIO.hpp:2042-2056``).
     """
-    nc = netcdf_file(path, "r", mmap=False)
+    nc = _open_nc(path)
     try:
         times = _get(nc, "time_whole", np.zeros(0))
         names = []

@@ -132,6 +132,16 @@ def assemble_heat_system(mesh: MeshModel, dtype=np.float64) -> HeatSystem:
     """Assemble the reduced Laplacian system with reference semantics."""
     n = mesh.num_nodes
     is_boundary, bval = mesh.boundary_value_per_node()
+    if not is_boundary.any():
+        import warnings
+
+        warnings.warn(
+            "mesh has no nodeset (Dirichlet) nodes: the reduced Laplacian "
+            "is singular and the RHS is zero; use models.laplacian for the "
+            "full-mesh operator, or add nodesets "
+            "(io.sides.nodesets_from_sidesets can derive them)",
+            stacklevel=2,
+        )
     free_mask = ~is_boundary
     free_to_node = np.nonzero(free_mask)[0].astype(np.int64)
     node_to_free = np.full(n, -1, dtype=np.int64)

@@ -135,3 +135,61 @@ def test_multiblock_multinodeset_mesh(data_dir):
     d = S.diagonal()
     offdiag = np.asarray(abs(S).sum(axis=1)).ravel() - d
     assert (d >= offdiag).all()
+
+
+class TestCorruptFiles:
+    """Reader robustness: corrupt/truncated inputs raise one predictable
+    exception type (ExodusReadError) that names the file; a missing file
+    stays FileNotFoundError."""
+
+    def _good_bytes(self, tmp_path):
+        from domain_decomposed_pde_solver_tpu.io import box_mesh, write_exodus
+
+        p = tmp_path / "good.exo"
+        write_exodus(str(p), box_mesh(4, 4, 4, elem_type="TETRA4"))
+        return p.read_bytes()
+
+    @pytest.mark.parametrize(
+        "mangle",
+        [
+            lambda b: b"",
+            lambda b: b"not a netcdf file" * 8,
+            lambda b: b[:20],
+            lambda b: b[: len(b) // 2],
+            lambda b: b"XDF" + b[3:],
+        ],
+        ids=["empty", "garbage", "truncated-header", "truncated-body",
+             "bad-magic"],
+    )
+    def test_corrupt_raises_exodus_read_error(self, tmp_path, mangle):
+        from domain_decomposed_pde_solver_tpu.io import (
+            ExodusReadError,
+            read_exodus,
+        )
+
+        p = tmp_path / "bad.exo"
+        p.write_bytes(mangle(self._good_bytes(tmp_path)))
+        with pytest.raises(ExodusReadError) as exc:
+            read_exodus(str(p))
+        assert "bad.exo" in str(exc.value)
+
+    def test_missing_file_raises_file_not_found(self, tmp_path):
+        from domain_decomposed_pde_solver_tpu.io import read_exodus
+
+        with pytest.raises(FileNotFoundError):
+            read_exodus(str(tmp_path / "missing.exo"))
+
+    def test_nodeset_free_mesh_warns_singular(self):
+        import warnings
+
+        from domain_decomposed_pde_solver_tpu.io import box_mesh
+        from domain_decomposed_pde_solver_tpu.models import (
+            assemble_heat_system,
+        )
+
+        mesh = box_mesh(4, 4, 4, elem_type="TETRA4")
+        mesh.node_sets = []
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assemble_heat_system(mesh)
+        assert any("singular" in str(x.message) for x in w)
