@@ -34,7 +34,13 @@ def main(argv=None) -> int:
         write_decomposition,
     )
 
-    mesh = read_exodus(args.input)
+    from ..io import ExodusReadError
+
+    try:
+        mesh = read_exodus(args.input)
+    except (ExodusReadError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if args.verbose:
         print(
             f"Title: {mesh.title}\n# of Nodes: {mesh.num_nodes}\n"

@@ -33,7 +33,13 @@ def main(argv=None) -> int:
     from ..io import read_exodus
     from ..models import assemble_full_laplacian
 
-    mesh = read_exodus(args.input)
+    from ..io import ExodusReadError
+
+    try:
+        mesh = read_exodus(args.input)
+    except (ExodusReadError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     L = assemble_full_laplacian(mesh)
     rng = np.random.default_rng(args.seed)
     z0_host = rng.uniform(size=L.n_rows)

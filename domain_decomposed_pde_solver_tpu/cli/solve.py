@@ -63,8 +63,14 @@ def main(argv=None) -> int:
     timer = PhaseTimer()
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
 
+    from ..io import ExodusReadError
+
     with timer.phase("read"):
-        mesh = read_exodus(cfg.input)
+        try:
+            mesh = read_exodus(cfg.input)
+        except (ExodusReadError, FileNotFoundError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     if cfg.refine > 0:
         from ..io import refine_uniform
 
