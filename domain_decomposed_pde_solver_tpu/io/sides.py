@@ -16,7 +16,7 @@ import numpy as np
 
 from .mesh import MeshModel, NodeSet, SideSet
 
-__all__ = ["side_local_nodes", "sideset_nodes", "nodesets_from_sidesets"]
+__all__ = ["side_local_nodes", "sideset_nodes", "sideset_faces", "nodesets_from_sidesets"]
 
 # Exodus-II local side -> local node indices (0-based here; the standard
 # tables are 1-based).  Keyed by element family prefix.
@@ -91,6 +91,36 @@ def sideset_nodes(mesh: MeshModel, ss: SideSet) -> np.ndarray:
     if not nodes:
         return np.zeros(0, dtype=np.int64)
     return np.unique(np.concatenate(nodes).astype(np.int64))
+
+
+def sideset_faces(mesh: MeshModel, ss: SideSet) -> List[np.ndarray]:
+    """Resolve a sideset to per-face connectivity arrays.
+
+    Returns a list of ``(n_faces, k)`` int64 arrays, one per face arity
+    (k=2 edges, k=3 triangle faces, k=4 quad faces) — the geometric input
+    for surface integrals (Neumann/Robin terms, flux evaluation).  Same
+    block/side resolution rules as :func:`sideset_nodes`.
+    """
+    offsets = mesh.global_elem_offsets()
+    by_k: Dict[int, List[np.ndarray]] = {}
+    blk_of = (
+        np.searchsorted(offsets, ss.elems, side="right") - 1
+        if ss.elems.size
+        else np.zeros(0, np.int64)
+    )
+    for bi in np.unique(blk_of):
+        blk = mesh.blocks[int(bi)]
+        sel = blk_of == bi
+        local_elems = ss.elems[sel] - offsets[int(bi)]
+        sides = ss.sides[sel]
+        et = blk.elem_type.strip().upper()
+        is_shell = mesh.dim == 3 and (et.startswith("TRI") or et.startswith("QUAD"))
+        for sd in np.unique(sides):
+            idx = side_local_nodes(blk.elem_type, int(sd), shell=is_shell)
+            rows = local_elems[sides == sd]
+            faces = blk.conn[rows][:, list(idx)].astype(np.int64)
+            by_k.setdefault(len(idx), []).append(faces)
+    return [np.concatenate(v) for k, v in sorted(by_k.items())]
 
 
 def nodesets_from_sidesets(

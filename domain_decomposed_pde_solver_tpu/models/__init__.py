@@ -2,7 +2,7 @@
 
 from .heat import HeatSystem, assemble_heat_system, unique_element_edges
 from .laplacian import assemble_full_laplacian
-from .poisson_fem import assemble_poisson_fem
+from .poisson_fem import assemble_poisson_fem, surface_load, surface_mass_coo
 from .transient import TransientResult, transient_heat_solve
 
 __all__ = [
@@ -11,6 +11,8 @@ __all__ = [
     "unique_element_edges",
     "assemble_full_laplacian",
     "assemble_poisson_fem",
+    "surface_load",
+    "surface_mass_coo",
     "TransientResult",
     "transient_heat_solve",
 ]

@@ -20,7 +20,7 @@ every solver/preconditioner/partitioner unchanged.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -28,7 +28,78 @@ from ..io.mesh import MeshModel
 from ..ops.csr import CSRMatrix, coo_to_csr
 from .heat import HeatSystem
 
-__all__ = ["assemble_poisson_fem"]
+__all__ = ["assemble_poisson_fem", "surface_load", "surface_mass_coo"]
+
+
+def _face_measures(coords: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """(nf,) length/area of k=2 edges or k=3 triangle faces."""
+    p = coords[faces]
+    if faces.shape[1] == 2:
+        return np.linalg.norm(p[:, 1] - p[:, 0], axis=1)
+    if faces.shape[1] == 3:
+        return 0.5 * np.linalg.norm(
+            np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]), axis=1
+        )
+    raise NotImplementedError(
+        f"surface integrals for {faces.shape[1]}-node faces (quads) are not "
+        "implemented; split hex boundaries into tris or use tet meshes"
+    )
+
+
+def surface_load(mesh: MeshModel, sideset_id: int, g: float) -> np.ndarray:
+    """P1 surface load ``b_i = g * integral_dS(phi_i)`` over one sideset.
+
+    The weak Neumann term for ``du/dn = g`` on the sideset: constant flux
+    times exactly-integrated P1 basis (measure/k per face node).  Returns a
+    full ``(num_nodes,)`` vector.
+    """
+    from ..io.sides import sideset_faces
+
+    ss = _find_sideset(mesh, sideset_id)
+    load = np.zeros(mesh.num_nodes)
+    for faces in sideset_faces(mesh, ss):
+        m = _face_measures(mesh.coords, faces)
+        k = faces.shape[1]
+        np.add.at(load, faces.reshape(-1), np.repeat(g * m / k, k))
+    return load
+
+
+def surface_mass_coo(
+    mesh: MeshModel, sideset_id: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """COO triplets of the P1 surface mass matrix ``integral_dS(phi_i phi_j)``
+    over one sideset (the Robin/impedance boundary operator).
+
+    Exact consistent mass: edges ``L/6 * [[2,1],[1,2]]``, triangle faces
+    ``A/12 * (ones + eye)``.
+    """
+    from ..io.sides import sideset_faces
+
+    ss = _find_sideset(mesh, sideset_id)
+    rows, cols, vals = [], [], []
+    for faces in sideset_faces(mesh, ss):
+        m = _face_measures(mesh.coords, faces)
+        k = faces.shape[1]
+        local = (np.ones((k, k)) + np.eye(k)) / (6.0 if k == 2 else 12.0)
+        a, b = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+        rows.append(faces[:, a].reshape(-1))
+        cols.append(faces[:, b].reshape(-1))
+        vals.append((m[:, None, None] * local[None]).reshape(-1))
+    return (
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(vals),
+    )
+
+
+def _find_sideset(mesh: MeshModel, sideset_id: int):
+    for ss in mesh.side_sets:
+        if ss.id == sideset_id:
+            return ss
+    raise ValueError(
+        f"mesh has no sideset {sideset_id} "
+        f"(available: {sorted(s.id for s in mesh.side_sets)})"
+    )
 
 
 def _tet_local_stiffness(coords: np.ndarray, conn: np.ndarray) -> np.ndarray:
@@ -72,6 +143,8 @@ def assemble_poisson_fem(
     mesh: MeshModel,
     f: Optional[np.ndarray] = None,
     dtype=np.float64,
+    neumann: Optional[Dict[int, float]] = None,
+    robin: Optional[Dict[int, Tuple[float, float]]] = None,
 ) -> HeatSystem:
     """Assemble the P1 Poisson system with nodeset Dirichlet BCs.
 
@@ -79,6 +152,18 @@ def assemble_poisson_fem(
     nodeset id containing the node, ``ExodusIO.hpp:675-682``); ``f`` is an
     optional per-node source density (defaults to zero — pure boundary-value
     problem like the reference's heat equation).
+
+    Sideset-driven natural BCs (the PDE direction the reference left open,
+    ``ExodusIO.hpp:725-732``):
+
+    - ``neumann``: {sideset_id: g} adds the flux load ``g integral(phi_i)``
+      (``du/dn = g`` on that surface);
+    - ``robin``: {sideset_id: (alpha, u_env)} adds the impedance term
+      ``du/dn = -alpha (u - u_env)``: surface mass ``alpha M_s`` into the
+      stiffness and load ``alpha u_env integral(phi_i)``.
+
+    Untouched boundaries remain natural (zero flux).  Dirichlet nodesets
+    win where they overlap a sideset (the surface rows are eliminated).
     """
     n = mesh.num_nodes
     is_boundary, bval = mesh.boundary_value_per_node()
@@ -105,6 +190,20 @@ def assemble_poisson_fem(
         rows_all.append(conn[:, a_idx].reshape(-1))
         cols_all.append(conn[:, b_idx].reshape(-1))
         vals_all.append(K.reshape(-1))
+    # Robin surface mass joins the volume stiffness before the free/
+    # boundary split, so Dirichlet elimination applies to it uniformly.
+    surface_rhs = np.zeros(n)
+    for ss_id, g in (neumann or {}).items():
+        surface_rhs += surface_load(mesh, ss_id, float(g))
+    for ss_id, (alpha, u_env) in (robin or {}).items():
+        sr, sc, sv = surface_mass_coo(mesh, ss_id)
+        rows_all.append(sr)
+        cols_all.append(sc)
+        vals_all.append(float(alpha) * sv)
+        surface_rhs += float(alpha) * float(u_env) * surface_load(
+            mesh, ss_id, 1.0
+        )
+
     rows = np.concatenate(rows_all)
     cols = np.concatenate(cols_all)
     vals = np.concatenate(vals_all).astype(dtype)
@@ -128,6 +227,8 @@ def assemble_poisson_fem(
     )
     if f is not None:
         b = b + np.asarray(f, dtype=dtype)[free_to_node]
+    if neumann or robin:
+        b = b + surface_rhs.astype(dtype)[free_to_node]
 
     return HeatSystem(
         A=K_ff,

@@ -90,3 +90,80 @@ def test_fem_solver_pipeline_integration():
     xd = spla.spsolve(sys_.A.to_scipy().tocsc(), sys_.b)
     x = unpad_vector(res.x, sys_.n_free)
     assert np.abs(x - xd).max() / max(np.abs(xd).max(), 1e-30) < 1e-8
+
+
+def _plane_sideset(mesh, ss_id, xval):
+    """All TETRA4 faces lying on the plane x == xval, as a SideSet."""
+    from domain_decomposed_pde_solver_tpu.io.mesh import SideSet
+    from domain_decomposed_pde_solver_tpu.io.sides import side_local_nodes
+
+    elems, sides = [], []
+    off = 0
+    for blk in mesh.blocks:
+        on = np.isclose(mesh.coords[:, 0], xval)
+        for s in range(1, 5):
+            idx = list(side_local_nodes("TETRA4", s))
+            hit = on[blk.conn[:, idx]].all(axis=1)
+            e = np.nonzero(hit)[0]
+            elems.append(e + off)
+            sides.append(np.full(e.size, s))
+        off += blk.conn.shape[0]
+    return SideSet(
+        id=ss_id, elems=np.concatenate(elems), sides=np.concatenate(sides),
+        name="", dist_factors=None,
+    )
+
+
+def _dirichlet_x0_mesh():
+    from domain_decomposed_pde_solver_tpu.io.mesh import NodeSet
+
+    mesh = box_mesh(9, 8, 7, elem_type="TETRA4")
+    x0 = np.nonzero(np.isclose(mesh.coords[:, 0], 0.0))[0]
+    mesh.node_sets = [
+        NodeSet(id=5, nodes=x0.astype(np.int64), name="", dist_factors=None)
+    ]
+    mesh.side_sets = [_plane_sideset(mesh, 77, 1.0)]
+    return mesh
+
+
+def test_neumann_flux_exact_for_linear_solution():
+    """u=5 at x=0 (Dirichlet), du/dn=g at x=1 (Neumann sideset): the exact
+    solution u = 5 + g x is linear, so P1 FEM must reproduce it to
+    rounding."""
+    import scipy.sparse.linalg as spla
+
+    mesh = _dirichlet_x0_mesh()
+    g = 3.25
+    sys_ = assemble_poisson_fem(mesh, neumann={77: g})
+    u = spla.spsolve(sys_.A.to_scipy().tocsc(), sys_.b)
+    exact = 5.0 + g * mesh.coords[sys_.free_to_node, 0]
+    assert np.abs(u - exact).max() < 1e-12
+
+
+def test_robin_impedance_exact_for_linear_solution():
+    """Robin du/dn = -alpha (u - u_env) at x=1: 1D flux balance gives
+    u = 5 + c x with c = alpha (u_env - 5) / (1 + alpha)."""
+    import scipy.sparse.linalg as spla
+
+    mesh = _dirichlet_x0_mesh()
+    alpha, u_env = 2.0, 11.0
+    sys_ = assemble_poisson_fem(mesh, robin={77: (alpha, u_env)})
+    u = spla.spsolve(sys_.A.to_scipy().tocsc(), sys_.b)
+    c = alpha * (u_env - 5.0) / (1.0 + alpha)
+    exact = 5.0 + c * mesh.coords[sys_.free_to_node, 0]
+    assert np.abs(u - exact).max() < 1e-12
+
+
+def test_surface_load_total_equals_flux_times_area():
+    from domain_decomposed_pde_solver_tpu.models import surface_load
+
+    mesh = _dirichlet_x0_mesh()
+    load = surface_load(mesh, 77, 3.0)
+    # x=1 face of the unit box has area 1 -> total load = g * area = 3.
+    assert abs(load.sum() - 3.0) < 1e-12
+
+
+def test_unknown_sideset_raises():
+    mesh = _dirichlet_x0_mesh()
+    with pytest.raises(ValueError, match="no sideset 999"):
+        assemble_poisson_fem(mesh, neumann={999: 1.0})
