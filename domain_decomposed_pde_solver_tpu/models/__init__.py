@@ -2,6 +2,7 @@
 
 from .heat import HeatSystem, assemble_heat_system, unique_element_edges
 from .laplacian import assemble_full_laplacian
+from .p2 import assemble_poisson_p2, elevate_to_p2
 from .poisson_fem import assemble_poisson_fem, surface_load, surface_mass_coo
 from .transient import TransientResult, transient_heat_solve
 
@@ -11,6 +12,8 @@ __all__ = [
     "unique_element_edges",
     "assemble_full_laplacian",
     "assemble_poisson_fem",
+    "assemble_poisson_p2",
+    "elevate_to_p2",
     "surface_load",
     "surface_mass_coo",
     "TransientResult",
