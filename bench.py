@@ -180,7 +180,9 @@ def main():
     from domain_decomposed_pde_solver_tpu.ops.dia import DIAMatrix
 
     if isinstance(A1m, DIAMatrix):
-        eq_bytes = 4 * (A1m.ndiags * A1m.n_pad + 2 * A1m.n_pad)
+        # A1m.dtype is the COMPUTE dtype (storage may be narrower).
+        vb = A1m.dtype.itemsize
+        eq_bytes = vb * (A1m.ndiags * A1m.n_pad + 2 * A1m.n_pad)
     else:
         eq_bytes = operator_bytes(A1m)
     gbps1m_eq = eq_bytes / dt1m / 1e9

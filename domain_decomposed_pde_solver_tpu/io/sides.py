@@ -69,28 +69,10 @@ def side_local_nodes(
 
 def sideset_nodes(mesh: MeshModel, ss: SideSet) -> np.ndarray:
     """Resolve a sideset to the sorted unique mesh nodes on its faces."""
-    offsets = mesh.global_elem_offsets()
-    nodes: List[np.ndarray] = []
-    blk_of = (
-        np.searchsorted(offsets, ss.elems, side="right") - 1
-        if ss.elems.size
-        else np.zeros(0, np.int64)
-    )
-    for bi in np.unique(blk_of):
-        blk = mesh.blocks[int(bi)]
-        sel = blk_of == bi
-        local_elems = ss.elems[sel] - offsets[int(bi)]
-        sides = ss.sides[sel]
-        # 2D element families in a 3-D file are shells (face/edge numbering).
-        et = blk.elem_type.strip().upper()
-        is_shell = mesh.dim == 3 and (et.startswith("TRI") or et.startswith("QUAD"))
-        for s in np.unique(sides):
-            idx = side_local_nodes(blk.elem_type, int(s), shell=is_shell)
-            rows = local_elems[sides == s]
-            nodes.append(blk.conn[rows][:, list(idx)].reshape(-1))
-    if not nodes:
+    faces = sideset_faces(mesh, ss)
+    if not faces:
         return np.zeros(0, dtype=np.int64)
-    return np.unique(np.concatenate(nodes).astype(np.int64))
+    return np.unique(np.concatenate([f.reshape(-1) for f in faces]))
 
 
 def sideset_faces(mesh: MeshModel, ss: SideSet) -> List[np.ndarray]:

@@ -46,39 +46,28 @@ def _face_measures(coords: np.ndarray, faces: np.ndarray) -> np.ndarray:
     )
 
 
-def surface_load(mesh: MeshModel, sideset_id: int, g: float) -> np.ndarray:
-    """P1 surface load ``b_i = g * integral_dS(phi_i)`` over one sideset.
-
-    The weak Neumann term for ``du/dn = g`` on the sideset: constant flux
-    times exactly-integrated P1 basis (measure/k per face node).  Returns a
-    full ``(num_nodes,)`` vector.
-    """
+def _faces_and_measures(mesh: MeshModel, sideset_id: int):
+    """Resolve a sideset once to [(faces, measures), ...] per face arity."""
     from ..io.sides import sideset_faces
 
     ss = _find_sideset(mesh, sideset_id)
-    load = np.zeros(mesh.num_nodes)
-    for faces in sideset_faces(mesh, ss):
-        m = _face_measures(mesh.coords, faces)
+    return [
+        (faces, _face_measures(mesh.coords, faces))
+        for faces in sideset_faces(mesh, ss)
+    ]
+
+
+def _load_from(fm, g: float, num_nodes: int) -> np.ndarray:
+    load = np.zeros(num_nodes)
+    for faces, m in fm:
         k = faces.shape[1]
         np.add.at(load, faces.reshape(-1), np.repeat(g * m / k, k))
     return load
 
 
-def surface_mass_coo(
-    mesh: MeshModel, sideset_id: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """COO triplets of the P1 surface mass matrix ``integral_dS(phi_i phi_j)``
-    over one sideset (the Robin/impedance boundary operator).
-
-    Exact consistent mass: edges ``L/6 * [[2,1],[1,2]]``, triangle faces
-    ``A/12 * (ones + eye)``.
-    """
-    from ..io.sides import sideset_faces
-
-    ss = _find_sideset(mesh, sideset_id)
+def _mass_from(fm) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     rows, cols, vals = [], [], []
-    for faces in sideset_faces(mesh, ss):
-        m = _face_measures(mesh.coords, faces)
+    for faces, m in fm:
         k = faces.shape[1]
         local = (np.ones((k, k)) + np.eye(k)) / (6.0 if k == 2 else 12.0)
         a, b = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
@@ -90,6 +79,28 @@ def surface_mass_coo(
         np.concatenate(cols),
         np.concatenate(vals),
     )
+
+
+def surface_load(mesh: MeshModel, sideset_id: int, g: float) -> np.ndarray:
+    """P1 surface load ``b_i = g * integral_dS(phi_i)`` over one sideset.
+
+    The weak Neumann term for ``du/dn = g`` on the sideset: constant flux
+    times exactly-integrated P1 basis (measure/k per face node).  Returns a
+    full ``(num_nodes,)`` vector.
+    """
+    return _load_from(_faces_and_measures(mesh, sideset_id), g, mesh.num_nodes)
+
+
+def surface_mass_coo(
+    mesh: MeshModel, sideset_id: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """COO triplets of the P1 surface mass matrix ``integral_dS(phi_i phi_j)``
+    over one sideset (the Robin/impedance boundary operator).
+
+    Exact consistent mass: edges ``L/6 * [[2,1],[1,2]]``, triangle faces
+    ``A/12 * (ones + eye)``.
+    """
+    return _mass_from(_faces_and_measures(mesh, sideset_id))
 
 
 def _find_sideset(mesh: MeshModel, sideset_id: int):
@@ -196,20 +207,18 @@ def assemble_poisson_fem(
     for ss_id, g in (neumann or {}).items():
         surface_rhs += surface_load(mesh, ss_id, float(g))
     for ss_id, (alpha, u_env) in (robin or {}).items():
-        sr, sc, sv = surface_mass_coo(mesh, ss_id)
+        fm = _faces_and_measures(mesh, ss_id)  # resolve faces once
+        sr, sc, sv = _mass_from(fm)
         rows_all.append(sr)
         cols_all.append(sc)
         vals_all.append(float(alpha) * sv)
-        surface_rhs += float(alpha) * float(u_env) * surface_load(
-            mesh, ss_id, 1.0
+        surface_rhs += float(alpha) * float(u_env) * _load_from(
+            fm, 1.0, n
         )
 
     rows = np.concatenate(rows_all)
     cols = np.concatenate(cols_all)
     vals = np.concatenate(vals_all).astype(dtype)
-
-    # Full stiffness (node space), duplicates summed.
-    K_full = coo_to_csr(rows, cols, vals, (n, n), sum_dups=True)
 
     # Partition into K_ff (free x free) and lift: b = f_free - K_fb g.
     ff = free_mask[rows] & free_mask[cols]

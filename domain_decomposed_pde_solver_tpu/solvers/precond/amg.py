@@ -474,9 +474,13 @@ def smoothed_aggregation_setup(
                 f"(gathered transfers)",
                 stacklevel=2,
             )
+        # grid_dims expresses explicit intent for brick transfers: honor it
+        # whenever it matches the finest operator, independent of the
+        # aggressive-coarsening auto-gate (which only governs the greedy
+        # compose below) — otherwise a structured mesh under 200k rows that
+        # wires grid_dims would silently get gathered transfers.
         use_brick = (
             len(levels) == 0
-            and aggressive_levels >= 1
             and grid_dims is not None
             and int(np.prod(grid_dims)) == A_k.shape[0]
         )
