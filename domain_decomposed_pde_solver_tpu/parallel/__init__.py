@@ -15,6 +15,7 @@ from .decompose import decompose_mesh, write_decomposition
 from .ownership import node_ownership_from_element_partition
 from .schwarz import build_block_amg
 from .slab import SlabDIAPlan, build_slab_plan, slab_cg_solve
+from .slabbrick import SlabBrickPrecond, build_slab_brick_precond
 from .sharded import (
     ShardedOperator,
     make_device_mesh,
@@ -42,6 +43,8 @@ __all__ = [
     "SlabDIAPlan",
     "build_slab_plan",
     "slab_cg_solve",
+    "SlabBrickPrecond",
+    "build_slab_brick_precond",
     "ShardedOperator",
     "make_device_mesh",
     "sharded_cg_chunk",

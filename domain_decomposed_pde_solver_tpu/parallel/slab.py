@@ -59,9 +59,14 @@ class SlabDIAPlan:
 
 
 def build_slab_plan(
-    A: CSRMatrix | DIAMatrix, nparts: int, dtype=np.float32
+    A: CSRMatrix | DIAMatrix, nparts: int, dtype=np.float32,
+    row_align: int = 8,
 ) -> Optional[SlabDIAPlan]:
-    """Build the slab plan; None if the matrix has no (small) DIA form."""
+    """Build the slab plan; None if the matrix has no (small) DIA form.
+
+    ``row_align``: slabs are padded to a multiple of this (set to ``mx*my``
+    of a lexicographic grid so every slab is a whole number of z-layers —
+    required by the two-level brick preconditioner in `slabbrick.py`)."""
     if isinstance(A, DIAMatrix):
         dia = A
         n = A.n_rows
@@ -76,7 +81,7 @@ def build_slab_plan(
     H = max(max(abs(o) for o in offsets), 1)
     H = ((H + 7) // 8) * 8
     slab = -(-n // nparts)
-    slab = ((slab + 7) // 8) * 8
+    slab = -(-slab // row_align) * row_align
     if slab < H:
         # Slabs thinner than the bandwidth would need beyond-neighbor
         # communication; refuse (caller falls back to the general path).
@@ -135,10 +140,13 @@ def slab_cg_solve(
     tol: float = 1e-12,
     maxiter: int = 1000,
     jacobi: bool = True,
+    brick_precond=None,
 ):
     """Distributed CG over the slab decomposition: one SPMD program.
 
-    Returns (x_host, CGResult-shaped scalars).
+    ``brick_precond``: an optional `slabbrick.SlabBrickPrecond` — each
+    device then preconditions with its communication-free two-level brick
+    cycle instead of Jacobi.  Returns (x_host, CGResult-shaped scalars).
     """
     dev_mesh = mesh if mesh is not None else make_device_mesh(plan.nparts)
     sh = NamedSharding(dev_mesh, P(AXIS))
@@ -146,33 +154,46 @@ def slab_cg_solve(
     b_s = jax.device_put(plan.scatter_vector(b, dtype=plan.data.dtype), sh)
     x0_s = jax.device_put(plan.scatter_vector(x0, dtype=plan.data.dtype), sh)
     offsets, halo, slab = plan.offsets, plan.halo, plan.slab
+    bp = brick_precond
+    ci = jax.device_put(bp.coarse_inv, sh) if bp is not None else None
+    idg = jax.device_put(bp.inv_diag, sh) if bp is not None else None
 
-    def body(data_blk, b_blk, x_blk):
+    def body(data_blk, b_blk, x_blk, ci_blk, id_blk):
         op = SlabDIAOperator(
             data=data_blk[0], offsets=offsets, halo=halo, slab=slab
         )
-        M = None
-        if jacobi:
+        if bp is not None:
+            M = bp.block(data_blk[0], ci_blk[0], id_blk[0])
+        elif jacobi:
             if 0 in offsets:
                 d = data_blk[0][offsets.index(0)]
             else:
                 d = jnp.ones_like(b_blk[0])
             inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
             M = DiagonalPreconditioner(inv)
+        else:
+            M = None
         res = cg_solve(
             op, b_blk[0], x_blk[0], precond=M, tol=tol, maxiter=maxiter,
             dot=_psum_dot,
         )
         return res.x[None], res.iterations, res.relres, res.converged
 
+    if bp is None:
+        # Keep the arity static for shard_map: dummy replicated scalars.
+        ci = jnp.zeros((plan.nparts, 1, 1), data.dtype)
+        idg = jnp.zeros((plan.nparts, 1), data.dtype)
+        ci = jax.device_put(ci, sh)
+        idg = jax.device_put(idg, sh)
+
     fn = jax.shard_map(
         body,
         mesh=dev_mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(), P(), P()),
         check_vma=False,
     )
-    x_s, iters, relres, conv = fn(data, b_s, x0_s)
+    x_s, iters, relres, conv = fn(data, b_s, x0_s, ci, idg)
     return plan.gather_vector(np.asarray(x_s)), CGResult(
         x=x_s, iterations=iters, relres=relres, converged=conv
     )
