@@ -28,5 +28,15 @@ Subpackages
 
 __version__ = "0.1.0"
 
+# Host allocator tuning: on the fault-bound VMs this framework targets,
+# glibc's default mmap threshold makes every large NumPy temporary re-pay
+# first-touch page faults (~250x slower than heap reuse).  Enabled at
+# import; opt out with DDPS_NO_MALLOC_TUNING=1.  See utils/hostmem.py for
+# the measurements.
+from .utils.hostmem import enable_malloc_reuse as _emr  # noqa: E402
+
+_emr()
+del _emr
+
 from . import io, models, ops, parallel, solvers, utils  # noqa: F401,E402
 from .api import SteadyHeatSolver  # noqa: F401,E402
