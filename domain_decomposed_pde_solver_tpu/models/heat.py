@@ -164,10 +164,39 @@ def assemble_heat_system(mesh: MeshModel, dtype=np.float64) -> HeatSystem:
     both_free = free_mask[v]
     rows = ru[both_free]
     cols = node_to_free[v[both_free]]
-    coo_rows = np.concatenate([rows, np.arange(n_free, dtype=np.int64)])
-    coo_cols = np.concatenate([cols, np.arange(n_free, dtype=np.int64)])
-    coo_vals = np.concatenate([np.full(rows.size, -1.0, dtype=dtype), degree])
-    A = coo_to_csr(coo_rows, coo_cols, coo_vals, (n_free, n_free), sum_dups=False)
+    # Direct canonical-CSR construction — no sort.  ``unique_element_edges``
+    # returns pairs sorted by (u, v) and masking preserves order, so the
+    # off-diagonals are already grouped per row with ascending columns.
+    # The one diagonal entry per row is inserted at its sorted position
+    # (after that row's columns < r): entry k lands at
+    # ``k + rows[k] + (cols[k] > rows[k])`` — the rows[k] prior diagonal
+    # insertions plus one if its own row's diagonal precedes it.  A
+    # 19M-element argsort (the bulk of assembly time on this host) becomes
+    # two O(nnz) scatters, and the result stays fully sorted (scipy ops
+    # downstream require canonical index order).
+    nnz_off = rows.size
+    counts_off = np.bincount(rows, minlength=n_free)
+    indptr_off = np.concatenate([[0], np.cumsum(counts_off)])
+    nnz = nnz_off + n_free
+    indices = np.empty(nnz, dtype=np.int64)
+    data = np.empty(nnz, dtype=dtype)
+    pos_off = (
+        np.arange(nnz_off, dtype=np.int64) + rows + (cols > rows)
+    )
+    indices[pos_off] = cols
+    data[pos_off] = -1.0
+    n_before = np.bincount(rows[cols < rows], minlength=n_free)
+    pos_diag = (
+        indptr_off[:-1] + np.arange(n_free, dtype=np.int64) + n_before
+    )
+    indices[pos_diag] = np.arange(n_free, dtype=np.int64)
+    data[pos_diag] = degree
+    indptr = (
+        indptr_off + np.arange(n_free + 1, dtype=np.int64)
+    ).astype(np.int64)
+    A = CSRMatrix(
+        indptr=indptr, indices=indices, data=data, shape=(n_free, n_free)
+    )
 
     # RHS: sum of boundary-neighbor nodeset ids (``ExodusIO.hpp:671-687``).
     bdry = ~both_free
