@@ -306,7 +306,10 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
     if cfg.precond == "none":
         inv_d = None
     else:
-        inv_d = op.put_vector(1.0 / system.degree)
+        # Guard degree-0 rows (orphan free nodes): 1/0 -> inf would
+        # NaN-poison the distributed CG through the preconditioner apply.
+        deg = np.where(system.degree > 0, system.degree, 1.0)
+        inv_d = op.put_vector(1.0 / deg)
         if cfg.precond == "amg":
             if cfg.solver == "gmres":
                 print(

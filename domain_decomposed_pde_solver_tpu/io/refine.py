@@ -40,7 +40,12 @@ def _family(elem_type: str) -> str:
 
 
 def refine_uniform(mesh: MeshModel, levels: int = 1) -> MeshModel:
-    """Refine every element ``levels`` times (8^levels tets per tet)."""
+    """Refine every element ``levels`` times (8^levels tets per tet).
+
+    ``node_id_map``/``elem_id_map`` of the input are NOT propagated (new
+    nodes/elements have no original-mesh ids); the refined mesh uses the
+    default identity maps.
+    """
     out = mesh
     for _ in range(levels):
         out = _refine_once(out)
@@ -79,8 +84,29 @@ def _refine_once(mesh: MeshModel) -> MeshModel:
         inv = inverse[start : start + ne * nedges].reshape(nedges, ne).T
         return mid_of_key[inv]  # (ne, nedges)
 
+    # Hex face centers are uniquified ACROSS blocks (edge midpoints already
+    # are, via the global `keys` table above): a face shared between two hex
+    # blocks must get ONE center node or the refined mesh is non-conformal.
+    hex_face_keys = []
+    for blk in mesh.blocks:
+        if _family(blk.elem_type) == "HEX":
+            hex_face_keys.append(_hex_face_keys(blk.conn.astype(np.int64)))
+    face_table = None
+    if hex_face_keys:
+        all_keys = np.concatenate(hex_face_keys, axis=0)
+        uniq_faces, face_inv = np.unique(all_keys, axis=0, return_inverse=True)
+        face_base = coords.shape[0]
+        coords = np.concatenate(
+            [coords, coords[uniq_faces].mean(axis=1)], axis=0
+        )
+        face_table = (uniq_faces, face_inv, face_base)
+
     new_blocks: List[ElemBlock] = []
     extra_groups: List[Tuple[np.ndarray, np.ndarray]] = []  # (parents, new ids)
+    if face_table is not None:
+        uf, _, fb = face_table
+        extra_groups.append((uf, fb + np.arange(uf.shape[0])))
+    hex_seen = 0  # rows of face_inv consumed by earlier hex blocks
     for bi, blk in enumerate(mesh.blocks):
         fam = _family(blk.elem_type)
         c = blk.conn.astype(np.int64)
@@ -113,8 +139,13 @@ def _refine_once(mesh: MeshModel) -> MeshModel:
                 np.stack([m01, m23, m20, m03], 1),
             ]
         elif fam == "HEX":
-            kids, coords, face_groups = _refine_hex(c, m, coords)
-            extra_groups.append(face_groups)
+            uniq_faces, face_inv, face_base = face_table
+            ne = c.shape[0]
+            fc = (face_base + face_inv[hex_seen : hex_seen + ne * 6]).reshape(
+                ne, 6
+            )
+            hex_seen += ne * 6
+            kids, coords = _refine_hex(c, m, fc, coords)
         else:  # pragma: no cover
             raise AssertionError(fam)
         conn = np.stack(kids, axis=1).reshape(-1, c.shape[1])
@@ -147,25 +178,28 @@ def _refine_once(mesh: MeshModel) -> MeshModel:
     return out
 
 
-def _refine_hex(c: np.ndarray, m: np.ndarray, coords: np.ndarray):
-    """1->8 hex split: edge mids (given), deduplicated face centers, body
-    center.  Face centers are shared between neighboring hexes (conformal):
-    faces are keyed by their sorted node quadruple and uniquified."""
+_HEX_FACES = [
+    (0, 1, 2, 3), (4, 5, 6, 7),
+    (0, 1, 5, 4), (1, 2, 6, 5), (2, 3, 7, 6), (3, 0, 4, 7),
+]
+
+
+def _hex_face_keys(c: np.ndarray) -> np.ndarray:
+    """(ne*6, 4) sorted node quadruples keying each hex face, element-major."""
+    fnodes = np.stack([c[:, list(f)] for f in _HEX_FACES], axis=1)
+    return np.sort(fnodes.reshape(-1, 4), axis=1)
+
+
+def _refine_hex(c: np.ndarray, m: np.ndarray, fc: np.ndarray,
+                coords: np.ndarray):
+    """1->8 hex split: edge mids (given), face centers (given — deduplicated
+    globally across all hex blocks by the caller so shared faces stay
+    conformal), and a fresh body center per hex."""
     ne = c.shape[0]
     n0 = coords.shape[0]
-    faces = [
-        (0, 1, 2, 3), (4, 5, 6, 7),
-        (0, 1, 5, 4), (1, 2, 6, 5), (2, 3, 7, 6), (3, 0, 4, 7),
-    ]
-    # (ne, 6, 4) face node ids, keyed by sorted quadruple.
-    fnodes = np.stack([c[:, list(f)] for f in faces], axis=1)
-    keys = np.sort(fnodes.reshape(-1, 4), axis=1)
-    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-    fc = (n0 + inv).reshape(ne, 6)
-    fcoords = coords[uniq].mean(axis=1)  # (n_faces, 3)
-    bc = n0 + uniq.shape[0] + np.arange(ne)
+    bc = n0 + np.arange(ne)
     bcoords = coords[c].mean(axis=1)
-    coords = np.concatenate([coords, fcoords, bcoords], axis=0)
+    coords = np.concatenate([coords, bcoords], axis=0)
 
     e = {  # edge midpoint shorthand by local pair
         (0, 1): m[:, 0], (1, 2): m[:, 1], (2, 3): m[:, 2], (3, 0): m[:, 3],
@@ -189,4 +223,4 @@ def _refine_hex(c: np.ndarray, m: np.ndarray, coords: np.ndarray):
         hexa(cc, f12, e[(2, 6)], f23, f_top, e[(5, 6)], c[:, 6], e[(6, 7)]),
         hexa(f30, cc, f23, e[(3, 7)], e[(7, 4)], f_top, e[(6, 7)], c[:, 7]),
     ]
-    return kids, coords, (uniq, n0 + np.arange(uniq.shape[0]))
+    return kids, coords

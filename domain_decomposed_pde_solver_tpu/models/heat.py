@@ -125,6 +125,10 @@ def unique_element_edges(mesh: MeshModel):
         z = np.zeros(0, dtype=np.int64)
         return z, z
     uniq = np.unique(np.concatenate(chunks))
+    # Drop u == v pairs arising from degenerate elements that repeat a node:
+    # the native path filters elem[k] != v, and a surviving self-edge would
+    # collide with the diagonal slot in the sort-free CSR insert downstream.
+    uniq = uniq[(uniq // n) != (uniq % n)]
     return np.ascontiguousarray(uniq // n), np.ascontiguousarray(uniq % n)
 
 

@@ -69,9 +69,14 @@ def decompose_mesh(
             for bi in np.unique(blk_of):
                 rows = sub[blk_of == bi] - offsets[bi]
                 conn[blk_of == bi] = conns[bi][rows]
+            # Block ids are allocated sequentially so they stay unique even
+            # when a partition mixes element types and is split into several
+            # blocks (Exodus requires unique eb_prop1 ids); the partition is
+            # preserved in the block name.  For single-type partitions this
+            # reduces to the reference's id = partition + 1.
             new_blocks.append(
                 ElemBlock(
-                    id=p + 1,
+                    id=len(new_blocks) + 1,
                     elem_type=str(et),
                     conn=conn,
                     name=f"partition_{p}",

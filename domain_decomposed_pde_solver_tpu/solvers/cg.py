@@ -182,17 +182,30 @@ def cg_solve_resumable(
     bnorm = float(jnp.sqrt(dot(b, b))) or 1.0
     # Problem fingerprint: resuming a checkpoint from a *different* system
     # would silently converge to the wrong answer (the recurrence drives the
-    # stale residual to zero), so the RHS hash must match.
-    b_hash = hashlib.blake2b(
-        np.ascontiguousarray(np.asarray(b)).tobytes(), digest_size=16
-    ).hexdigest()
+    # stale residual to zero).  Both the RHS and the OPERATOR are hashed —
+    # the same b against a modified matrix (different refine level / BC set)
+    # is exactly the failure mode the guard exists to stop.
+    def _blake(arrs):
+        h = hashlib.blake2b(digest_size=16)
+        for a in arrs:
+            a = np.asarray(a)
+            h.update(str((a.shape, a.dtype.str)).encode())
+            h.update(np.ascontiguousarray(a).tobytes())
+        return h.hexdigest()
+
+    b_hash = _blake([b])
+    a_hash = _blake(jax.tree_util.tree_leaves(A))
 
     ck = load_checkpoint(checkpoint_path)
-    if ck is not None and ck.meta.get("b_hash") not in (None, b_hash):
+    if ck is not None and (
+        ck.meta.get("b_hash") not in (None, b_hash)
+        or ck.meta.get("a_hash") not in (None, a_hash)
+    ):
         raise ValueError(
             f"checkpoint {checkpoint_path!r} belongs to a different problem "
-            f"(RHS hash {ck.meta.get('b_hash')} != {b_hash}); delete it or "
-            "use a different --checkpoint path"
+            f"(RHS hash {ck.meta.get('b_hash')} vs {b_hash}, operator hash "
+            f"{ck.meta.get('a_hash')} vs {a_hash}); delete it or use a "
+            "different --checkpoint path"
         )
     if ck is not None and ck.x.shape == x0.shape:
         x = jnp.asarray(ck.x)
@@ -218,7 +231,12 @@ def cg_solve_resumable(
                 CGCheckpoint(
                     x=np.asarray(x), r=np.asarray(r), p=np.asarray(p),
                     rz=float(rz), iteration=k,
-                    meta={"bnorm": bnorm, "tol": tol, "b_hash": b_hash},
+                    meta={
+                        "bnorm": bnorm,
+                        "tol": tol,
+                        "b_hash": b_hash,
+                        "a_hash": a_hash,
+                    },
                 ),
             )
     return CGResult(
