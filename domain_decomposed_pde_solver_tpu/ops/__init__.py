@@ -6,6 +6,7 @@ from .spmv import ell_spmv, spmv_bytes
 from .dia import DIAMatrix, choose_operator, dia_from_csr, operator_bytes
 from .hyb import HYBMatrix, hyb_from_csr, rcm_permute
 from .splitell import SplitELLMatrix, splitell_from_csr
+from .bsg import BSGMatrix, bsg_from_csr, bsg_spmv
 
 __all__ = [
     "CSRMatrix",
@@ -26,4 +27,7 @@ __all__ = [
     "rcm_permute",
     "SplitELLMatrix",
     "splitell_from_csr",
+    "BSGMatrix",
+    "bsg_from_csr",
+    "bsg_spmv",
 ]

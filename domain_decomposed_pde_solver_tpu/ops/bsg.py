@@ -1,0 +1,329 @@
+"""BSG — binned shuffle-gather sparse format for unstructured SpMV on TPU.
+
+The TPU has no vectorized arbitrary gather: XLA lowers ``x[cols]`` to a
+serialized per-element loop (~9 ns/element here), which makes ELL-family
+SpMV on unstructured tet meshes two orders of magnitude slower than the
+structured DIA path (the reference's actual workload is unstructured:
+``tet-cube-heat.exo`` etc., ``BelosMueLuSolver.cpp:112-133``).
+
+What Mosaic *does* lower efficiently (measured on v5e):
+
+- unaligned *dynamic row slices* of a VMEM-resident ``(rows, 128)`` array,
+- ``take_along_axis`` across sublanes within one ``(8, 128)`` tile,
+- ``take_along_axis`` across lanes (any row count),
+- dense elementwise FMAs.
+
+BSG expresses SpMV entirely in those primitives.  Rows are processed in
+tiles of 1024 (= 8 sublanes x 128 lanes over the ``(n/128, 128)`` layout of
+``x``).  Every nonzero ``A[row, col] = v`` becomes one *slot* in a
+**micro-op**: a micro-op ``m`` of tile ``t`` holds
+
+- ``w0[t,m]``   : start row of an 8-row window ``W = x2[w0 : w0+8]``,
+- ``rm[t,m,a,l]``: source lane of the slot that produces output ``(a, l)``,
+- ``qq[t,m,a,r]``: window row holding the value for source lane ``r``,
+- ``vals[t,m,a,l]``: the coefficient (0 in unused slots).
+
+and the kernel evaluates, for each output element ``(a, l)`` of the tile,
+
+    ``acc[a,l] += vals[a,l] * W[qq[a, rm[a,l]], rm[a,l]]``
+
+i.e. one sublane shuffle + one lane shuffle + one FMA per micro-op — no
+serialized gathers.  The two-level shuffle is exact when within a micro-op
+every populated ``(sublane, source-lane)`` pair is unique; the host packer
+(:func:`bsg_from_csr`) guarantees that by splitting conflicting slots into
+extra micro-ops ("rounds") and by binning columns into aligned 8-row
+windows.  RCM ordering keeps the column spread per tile small so few bins
+are touched.
+
+Measured on the tunneled v5e: the packed tet-cube-heat operator runs ~6x
+faster than the best XLA gather formulation (SplitELL), limited by a fixed
+~0.4 ms per-``pallas_call`` dispatch cost of this environment — which the
+fused-CG driver (:mod:`..solvers.fused_cg`) amortizes over a whole solve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .csr import CSRMatrix
+
+__all__ = ["BSGMatrix", "bsg_from_csr", "bsg_spmv"]
+
+TILE = 1024  # rows per tile: 8 sublanes x 128 lanes
+LANES = 128
+SUBL = 8
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["w0", "qq", "rm", "vals", "diag", "perm"],
+    meta_fields=["n_rows", "n_tiles", "max_mo", "nx2", "storage"],
+)
+@dataclasses.dataclass
+class BSGMatrix:
+    """Binned shuffle-gather matrix (square operators).
+
+    Vectors passed to :meth:`matvec` live in the *internal (permuted,
+    padded)* space of length ``n_pad = n_tiles * 1024``; use
+    :meth:`put_vector` / :meth:`get_vector` to convert.
+    """
+
+    w0: jax.Array  # (n_tiles, max_mo) int32 window start rows (multiple of 8)
+    qq: jax.Array  # (n_tiles, max_mo, 8, 128) int8 window-row per (a, r)
+    rm: jax.Array  # (n_tiles, max_mo, 8, 128) int8 source lane per (a, l)
+    vals: jax.Array  # (n_tiles, max_mo, 8, 128) f32/bf16 coefficients
+    diag: jax.Array  # (n_pad,) f32 diagonal (permuted), 0-padded
+    perm: Optional[jax.Array]  # (n,) original row -> internal row, or None
+    n_rows: int
+    n_tiles: int
+    max_mo: int
+    nx2: int  # rows of the internal (nx2, 128) x layout (>= padded + 8)
+    storage: str  # "float32" | "bfloat16"
+
+    @property
+    def n_pad(self) -> int:
+        return self.n_tiles * TILE
+
+    @property
+    def n_cols(self) -> int:
+        return self.n_rows
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_rows)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.float32)
+
+    def put_vector(self, x: np.ndarray, dtype=jnp.float32) -> jax.Array:
+        """Original-order (n,) host vector -> internal padded device vector."""
+        x = np.asarray(x)
+        out = np.zeros(self.n_pad, dtype=np.dtype(dtype))
+        if self.perm is not None:
+            out[np.asarray(self.perm)] = x
+        else:
+            out[: self.n_rows] = x
+        return jnp.asarray(out)
+
+    def get_vector(self, xp: jax.Array) -> np.ndarray:
+        """Internal padded device vector -> original-order (n,) host vector."""
+        xp = np.asarray(xp)
+        if self.perm is not None:
+            return xp[np.asarray(self.perm)]
+        return xp[: self.n_rows]
+
+    def diagonal_padded(self, fill: float = 1.0) -> jax.Array:
+        d = self.diag
+        return jnp.where(d != 0, d, jnp.asarray(fill, d.dtype))
+
+    def matvec(self, x_padded: jax.Array) -> jax.Array:
+        # The Pallas kernel targets Mosaic (TPU); everywhere else (CPU
+        # tests, virtual device meshes) the packed form evaluates exactly
+        # the same numbers through plain XLA take_along_axis.
+        if jax.devices()[0].platform != "tpu":
+            return self.matvec_reference(x_padded)
+        return bsg_spmv(self, x_padded)
+
+    def matvec_reference(self, x_padded: jax.Array) -> jax.Array:
+        """Pure-jnp (XLA) evaluation of the packed form — used to validate
+        the packing itself and as the non-TPU fallback."""
+        x2 = _as_x2(self, x_padded)
+        W = x2[self.w0.reshape(-1)[:, None] + np.arange(SUBL)[None, :], :]
+        W = W.reshape(self.n_tiles, self.max_mo, SUBL, LANES)
+        qq = self.qq.astype(jnp.int32)
+        rm = self.rm.astype(jnp.int32)
+        t1 = jnp.take_along_axis(W, qq, axis=2)
+        g = jnp.take_along_axis(t1, rm, axis=3)
+        y = (self.vals.astype(x_padded.dtype) * g).sum(axis=1)
+        return y.reshape(self.n_pad)
+
+
+def _as_x2(A: BSGMatrix, x_padded: jax.Array) -> jax.Array:
+    x2 = x_padded.reshape(-1, LANES)
+    extra = A.nx2 - x2.shape[0]
+    if extra > 0:
+        x2 = jnp.concatenate([x2, jnp.zeros((extra, LANES), x2.dtype)], axis=0)
+    return x2
+
+
+def _rcm_perm(csr: CSRMatrix) -> Optional[np.ndarray]:
+    try:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        S = sp.csr_matrix(
+            (np.asarray(csr.data), np.asarray(csr.indices), np.asarray(csr.indptr)),
+            shape=csr.shape,
+        )
+        order = np.asarray(reverse_cuthill_mckee(S, symmetric_mode=True))
+        perm = np.empty(csr.n_rows, dtype=np.int64)
+        perm[order] = np.arange(csr.n_rows)
+        return perm
+    except Exception:  # pragma: no cover
+        return None
+
+
+def bsg_from_csr(
+    csr: CSRMatrix,
+    *,
+    reorder: bool = True,
+    storage: str = "auto",
+) -> BSGMatrix:
+    """Pack a square CSR matrix into BSG form.
+
+    ``reorder=True`` applies RCM (symmetric permutation) first — tighter
+    column clustering per tile means fewer window bins and fewer micro-ops.
+    ``storage="auto"`` keeps coefficient storage in bfloat16 when every
+    value round-trips exactly (true for graph Laplacians, whose entries are
+    small integers), halving HBM/VMEM bytes with bit-identical results.
+    """
+    if csr.shape[0] != csr.shape[1]:
+        raise ValueError("BSG requires a square operator")
+    n = csr.n_rows
+    perm = _rcm_perm(csr) if reorder else None
+
+    indptr = np.asarray(csr.indptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    cols = np.asarray(csr.indices, dtype=np.int64)
+    data = np.asarray(csr.data, dtype=np.float64)
+    if perm is not None:
+        rows = perm[rows]
+        cols = perm[cols]
+    # Canonical (row, col) order in the *internal* numbering, so the slot
+    # index k below groups the k-th smallest column of each row — columns of
+    # a slot then cluster into few window bins per tile.
+    o = np.lexsort((cols, rows))
+    rows, cols, data = rows[o], cols[o], data[o]
+
+    n_tiles = max(1, -(-n // TILE))
+    n_pad = n_tiles * TILE
+    nx2 = n_pad // LANES + SUBL  # zero guard rows so windows never overrun
+
+    t = rows // TILE
+    a = (rows % TILE) // LANES
+    l = rows % LANES
+    g = cols // LANES
+    r = cols % LANES
+    b = g // SUBL  # aligned 8-row window bin
+
+    # Micro-op assignment = bipartite edge coloring per (tile, window bin):
+    # within one micro-op each output slot (a, l) and each source pair
+    # (a, r) may appear at most once (so the two-level shuffle is exact).
+    # Greedy iterative matching: every round picks, per (t, b), at most one
+    # remaining entry per row and per (a, r) — round count approaches the
+    # max multiplicity (Konig: optimal = max degree for bipartite graphs).
+    nb = nx2 // SUBL + 1
+    tb = t * nb + b
+    rkey = tb * np.int64(n_pad) + rows  # one entry per row per round
+    skey = tb * np.int64(SUBL * LANES) + a * LANES + r  # one per source pair
+    rounds = np.full(rows.size, -1, dtype=np.int64)
+    rem = np.arange(rows.size)
+    it = 0
+    while rem.size:
+        # First remaining entry per row-group...
+        _, fi = np.unique(rkey[rem], return_index=True)
+        cand = rem[np.sort(fi)]
+        # ...thinned to one per source-pair group.
+        _, fj = np.unique(skey[cand], return_index=True)
+        pick = cand[np.sort(fj)]
+        rounds[pick] = it
+        it += 1
+        keep = np.ones(rem.size, dtype=bool)
+        keep[np.searchsorted(rem, pick)] = False
+        rem = rem[keep]
+
+    # Dense micro-op id per tile from the (b, round) key.
+    mo_key = b * np.int64(it) + rounds
+    max_mo = 0
+    mo_index = np.zeros(rows.size, dtype=np.int64)
+    for ti in range(n_tiles):
+        sel = t == ti
+        if not sel.any():
+            continue
+        uk, inv = np.unique(mo_key[sel], return_inverse=True)
+        mo_index[sel] = inv
+        max_mo = max(max_mo, uk.size)
+    max_mo = max(1, max_mo)
+
+    w0 = np.zeros((n_tiles, max_mo), dtype=np.int32)
+    qq = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.int8)
+    rm = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.int8)
+    vals = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.float32)
+
+    w0[t, mo_index] = (b * SUBL).astype(np.int32)
+    vals[t, mo_index, a, l] = data.astype(np.float32)
+    rm[t, mo_index, a, l] = r.astype(np.int8)
+    qq[t, mo_index, a, r] = (g - b * SUBL).astype(np.int8)
+
+    # Diagonal (permuted space) for Jacobi-type preconditioners.
+    diag = np.zeros(n_pad, dtype=np.float32)
+    dmask = rows == cols
+    diag[rows[dmask]] = data[dmask].astype(np.float32)
+
+    if storage == "auto":
+        exact = np.array_equal(
+            vals.astype(np.dtype(jnp.bfloat16)).astype(np.float32), vals
+        )
+        storage = "bfloat16" if exact else "float32"
+    vals_j = jnp.asarray(vals.astype(np.dtype(jnp.bfloat16)) if storage == "bfloat16" else vals)
+
+    return BSGMatrix(
+        w0=jnp.asarray(w0),
+        qq=jnp.asarray(qq),
+        rm=jnp.asarray(rm),
+        vals=vals_j,
+        diag=jnp.asarray(diag),
+        perm=jnp.asarray(perm) if perm is not None else None,
+        n_rows=n,
+        n_tiles=n_tiles,
+        max_mo=max_mo,
+        nx2=nx2,
+        storage=storage,
+    )
+
+
+def _spmv_kernel(max_mo, w0_ref, x_ref, qq_ref, rm_ref, v_ref, y_ref):
+    import jax.experimental.pallas as pl
+
+    ti = pl.program_id(0)
+    acc = jnp.zeros((SUBL, LANES), jnp.float32)
+    for m in range(max_mo):
+        W = x_ref[pl.ds(w0_ref[ti, m], SUBL), :]
+        t1 = jnp.take_along_axis(W, qq_ref[0, m].astype(jnp.int32), axis=0)
+        g = jnp.take_along_axis(t1, rm_ref[0, m].astype(jnp.int32), axis=1)
+        acc = acc + v_ref[0, m].astype(jnp.float32) * g
+    y_ref[0, :, :] = acc
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bsg_spmv(A: BSGMatrix, x_padded: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """y = A @ x, both in the internal padded space, f32."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x2 = _as_x2(A, x_padded.astype(jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(A.n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x2 resident
+            pl.BlockSpec((1, A.max_mo, SUBL, LANES), lambda t, w: (t, 0, 0, 0)),
+            pl.BlockSpec((1, A.max_mo, SUBL, LANES), lambda t, w: (t, 0, 0, 0)),
+            pl.BlockSpec((1, A.max_mo, SUBL, LANES), lambda t, w: (t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, SUBL, LANES), lambda t, w: (t, 0, 0)),
+    )
+    y = pl.pallas_call(
+        partial(_spmv_kernel, A.max_mo),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((A.n_tiles, SUBL, LANES), jnp.float32),
+        interpret=interpret,
+    )(A.w0, x2, A.qq, A.rm, A.vals)
+    return y.reshape(A.n_pad).astype(x_padded.dtype)

@@ -1,0 +1,151 @@
+"""BSG (binned shuffle-gather) format: packing invariants + SpMV parity.
+
+The packed form must reproduce the CSR matvec bit-for-bit up to f32
+rounding, through both evaluation paths (pure-XLA reference and the Pallas
+kernel in interpreter mode).  Replaces nothing in the reference — the
+reference's SpMV is Tpetra's (``ExodusMatrixTest.cpp:98-102``); BSG is the
+TPU-native formulation for unstructured meshes.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from domain_decomposed_pde_solver_tpu.ops.bsg import (
+    BSGMatrix,
+    bsg_from_csr,
+    bsg_spmv,
+)
+from domain_decomposed_pde_solver_tpu.ops.csr import CSRMatrix
+
+
+def _random_laplacian(n, avg_deg, seed):
+    """Random symmetric graph Laplacian with integer entries (like the
+    heat system: off-diag -1, diag = degree)."""
+    rng = np.random.default_rng(seed)
+    nnz_half = n * avg_deg // 2
+    u = rng.integers(0, n, nnz_half)
+    v = rng.integers(0, n, nnz_half)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    rows = np.concatenate([u, v])
+    cols = np.concatenate([v, u])
+    M = sp.coo_matrix((np.ones(rows.size), (rows, cols)), shape=(n, n)).tocsr()
+    M.data[:] = 1.0  # dedupe multiplicity
+    M = M.multiply(-1).tolil()
+    M.setdiag(-np.asarray(M.sum(axis=1)).ravel())
+    M = M.tocsr()
+    M.sort_indices()
+    return M
+
+
+def _to_csr(S):
+    return CSRMatrix(
+        indptr=S.indptr.astype(np.int64),
+        indices=S.indices.astype(np.int64),
+        data=S.data.astype(np.float64),
+        shape=S.shape,
+    )
+
+
+@pytest.mark.parametrize("n,deg,seed", [(37, 4, 0), (600, 9, 1), (2500, 15, 2)])
+@pytest.mark.parametrize("reorder", [True, False])
+def test_bsg_matvec_matches_csr(n, deg, seed, reorder):
+    S = _random_laplacian(n, deg, seed)
+    A = bsg_from_csr(_to_csr(S), reorder=reorder)
+    assert isinstance(A, BSGMatrix)
+    x = np.random.default_rng(seed + 100).standard_normal(n).astype(np.float32)
+    y_ref = (S @ x).astype(np.float32)
+    xp = A.put_vector(x)
+
+    y1 = A.get_vector(np.asarray(A.matvec_reference(xp)))
+    np.testing.assert_allclose(y1, y_ref, rtol=2e-5, atol=1e-4)
+
+    # Pallas kernel, interpreter mode (no TPU in CI).
+    y2 = A.get_vector(np.asarray(bsg_spmv(A, xp, interpret=True)))
+    np.testing.assert_allclose(y2, y_ref, rtol=2e-5, atol=1e-4)
+
+
+def test_bsg_put_get_roundtrip():
+    S = _random_laplacian(211, 6, 3)
+    A = bsg_from_csr(_to_csr(S))
+    x = np.arange(211, dtype=np.float32)
+    np.testing.assert_array_equal(A.get_vector(np.asarray(A.put_vector(x))), x)
+
+
+def test_bsg_packing_is_conflict_free():
+    """Within one micro-op every populated output slot (a, l) and every
+    source pair (a, r) appears at most once — the condition under which the
+    two-level shuffle is exact."""
+    S = _random_laplacian(1500, 12, 4)
+    csr = _to_csr(S)
+    A = bsg_from_csr(csr)
+    vals = np.asarray(A.vals, dtype=np.float32)
+    rm = np.asarray(A.rm)
+    # Count the populated slots: must equal nnz (no drops, no dups).
+    assert int((vals != 0).sum()) == csr.nnz
+    # Per micro-op, populated (a, r) pairs are unique: scatter nnz markers
+    # into (a, r) and check none collided (collision would overwrite).
+    for t in range(A.n_tiles):
+        for m in range(A.max_mo):
+            mask = vals[t, m] != 0
+            if not mask.any():
+                continue
+            a_idx, l_idx = np.nonzero(mask)
+            r_idx = rm[t, m, a_idx, l_idx]
+            pairs = set(zip(a_idx.tolist(), r_idx.tolist()))
+            assert len(pairs) == a_idx.size
+
+
+def test_bsg_diagonal():
+    S = _random_laplacian(123, 5, 5)
+    A = bsg_from_csr(_to_csr(S))
+    d = A.get_vector(np.asarray(A.diag))
+    np.testing.assert_allclose(d, S.diagonal(), rtol=0, atol=0)
+
+
+def test_bsg_exact_bf16_storage_for_integer_laplacian():
+    S = _random_laplacian(300, 6, 6)
+    A = bsg_from_csr(_to_csr(S))
+    # Graph-Laplacian entries are small integers: bf16 is exact.
+    assert A.storage == "bfloat16"
+
+
+def test_bsg_float_values_keep_f32():
+    S = _random_laplacian(100, 5, 7).astype(np.float64)
+    S.data *= np.pi
+    A = bsg_from_csr(_to_csr(S))
+    assert A.storage == "float32"
+    x = np.random.default_rng(8).standard_normal(100).astype(np.float32)
+    y = A.get_vector(np.asarray(A.matvec_reference(A.put_vector(x))))
+    np.testing.assert_allclose(y, (S @ x).astype(np.float32), rtol=2e-5, atol=1e-4)
+
+
+def test_bsg_in_cg_solver():
+    """BSG works as a drop-in CG operator (matvec + diagonal contracts)."""
+    from domain_decomposed_pde_solver_tpu.solvers.cg import cg_solve
+
+    S = _random_laplacian(400, 7, 9)
+    # Make strictly SPD (remove the constant-vector null space).
+    S = (S + 0.5 * sp.eye(400)).tocsr()
+    A = bsg_from_csr(_to_csr(S))
+    rng = np.random.default_rng(10)
+    x_true = rng.standard_normal(400)
+    b = S @ x_true
+    bp = A.put_vector(b.astype(np.float32))
+    x0 = A.put_vector(np.zeros(400, np.float32))
+    res = cg_solve(A, bp, x0, tol=1e-6, maxiter=500)
+    x = A.get_vector(np.asarray(res.x))
+    assert float(res.relres) < 1e-5
+    np.testing.assert_allclose(x, x_true, rtol=0, atol=5e-3)
+
+
+def test_bsg_rejects_rectangular():
+    csr = CSRMatrix(
+        indptr=np.array([0, 1], dtype=np.int64),
+        indices=np.array([0], dtype=np.int64),
+        data=np.array([1.0]),
+        shape=(1, 2),
+    )
+    with pytest.raises(ValueError):
+        bsg_from_csr(csr)
