@@ -65,13 +65,24 @@ def time_fn(fn, *args, iters=50, warmup=5, reps=3):
     return best
 
 
-def time_spmv_loop(A, x, iters=64, reps=3):
-    """Time SpMV via a value-chained in-program loop: each iteration feeds
-    the next, so neither XLA nor the async runtime can overlap or elide
-    work.  Values are rescaled each step to stay finite in f32."""
+def time_spmv_loop(A, x, iters=None, reps=3, k_lo=64, k_hi=320):
+    """Marginal per-SpMV device time via a two-point chained-loop fit.
+
+    Each iteration feeds the next inside one ``lax.fori_loop`` program, so
+    neither XLA nor the async runtime can overlap or elide work; values are
+    rescaled each step to stay finite in f32.  The tunneled device in this
+    environment adds a large *fixed* latency per jit invocation (measured
+    ~30 ms — dispatch RTT, independent of the loop length), so a single
+    total/k quotient overstates per-op time by 30ms/k.  Timing the same
+    program at two chain lengths and taking (T_hi - T_lo)/(k_hi - k_lo)
+    cancels the fixed term exactly and reports the true device-side
+    marginal cost (best of ``reps`` per point)."""
     import jax
     import jax.numpy as jnp
     from functools import partial as _partial
+
+    if iters is not None:  # legacy single-point mode
+        k_lo, k_hi = iters, 5 * iters
 
     @_partial(jax.jit, static_argnames=("k",))
     def loop(A, x, k):
@@ -82,13 +93,19 @@ def time_spmv_loop(A, x, iters=64, reps=3):
 
         return jax.lax.fori_loop(0, k, body, x)
 
-    _sync(loop(A, x, iters))  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _sync(loop(A, x, iters))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    _sync(loop(A, x, k_lo))  # compile + warm
+    _sync(loop(A, x, k_hi))
+
+    def best_total(k):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _sync(loop(A, x, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = best_total(k_lo), best_total(k_hi)
+    return max(t_hi - t_lo, 1e-12) / (k_hi - k_lo)
 
 
 def measured_stream_gbps(reps=3):
@@ -108,13 +125,21 @@ def measured_stream_gbps(reps=3):
     def loop(x, k):
         return jax.lax.fori_loop(0, k, lambda i, v: v * 0.999 + 0.001, x)
 
-    _sync(loop(big, 2))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _sync(loop(big, 8))
-        best = min(best, (time.perf_counter() - t0) / 8)
-    return 2 * big.size * 4 / best / 1e9
+    # Two-point fit cancels the fixed per-dispatch tunnel latency (see
+    # time_spmv_loop) so the ceiling is the device's, not the tunnel's.
+    _sync(loop(big, 4))
+    _sync(loop(big, 16))
+
+    def best_total(k):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _sync(loop(big, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = max(best_total(16) - best_total(4), 1e-12) / 12
+    return 2 * big.size * 4 / dt / 1e9
 
 
 def main():
@@ -143,21 +168,25 @@ def main():
     stream = measured_stream_gbps()
     extra["measured_stream_gbps"] = stream
 
-    # --- SpMV on tet-cube-heat (unstructured; width-capped Split-ELL) ----
-    from domain_decomposed_pde_solver_tpu.ops.splitell import splitell_from_csr
-
+    # --- SpMV on tet-cube-heat (unstructured) ----------------------------
+    # choose_operator(bsg="auto") picks the BSG shuffle-gather Pallas path
+    # on TPU (17x over Split-ELL on v5e); Split-ELL elsewhere.
     mesh = read_exodus(TET_CUBE)
     system = assemble_heat_system(mesh)
-    A = splitell_from_csr(system.A, dtype=jnp.float32)
-    x = pad_vector(
-        np.random.default_rng(0).standard_normal(A.n_pad).astype(np.float32),
-        A.n_pad,
+    A = choose_operator(system.A, dtype=jnp.float32, bsg="auto")
+    x = A.put_vector(
+        np.random.default_rng(0).standard_normal(system.n_free).astype(np.float32)
     )
     dt = time_spmv_loop(A, x, iters=64)
-    gbps = operator_bytes(A) / dt / 1e9
+    # Effective bandwidth at CSR-equivalent useful traffic (nnz * (val +
+    # index) + x + y in f32) — the format-independent figure of merit; the
+    # actual streamed bytes of the chosen format are reported alongside.
+    useful = system.A.nnz * 8 + 2 * system.n_free * 4
+    gbps = useful / dt / 1e9
     extra["spmv_us_tet_cube"] = dt * 1e6
     extra["spmv_gbps_tet_cube"] = gbps
-    extra["spmv_format_tet_cube"] = "SplitELL"
+    extra["spmv_gbps_tet_cube_streamed"] = operator_bytes(A) / dt / 1e9
+    extra["spmv_format_tet_cube"] = type(A).__name__
     extra["spmv_nnz"] = int(system.A.nnz)
 
     # --- ~1M DOF box (structured): auto format -> DIA (gather-free) ------
@@ -193,20 +222,34 @@ def main():
     extra["box1m_dof"] = sys1m.n_free
 
     # --- CG+Jacobi solve time on tet-cube-heat ---------------------------
-    b = pad_vector(system.b.astype(np.float32), A.n_pad)
+    b = A.put_vector(system.b.astype(np.float32))
     bscale = float(np.abs(system.b).max())
     bs = b / bscale  # scale so f32 stays in range
     M = jacobi_preconditioner(A)
-    solve = lambda: cg_solve(
-        A, bs, jnp.zeros_like(bs), precond=M, tol=1e-6, maxiter=600
+    solve = lambda mi: cg_solve(
+        A, bs, jnp.zeros_like(bs), precond=M, tol=1e-6, maxiter=mi
     )
-    res = solve()
+    res = solve(600)
     _sync(res.x)
     t0 = time.perf_counter()
-    res = solve()
+    res = solve(600)
     _sync(res.x)
-    extra["cg_jacobi_ms_tet_cube"] = (time.perf_counter() - t0) * 1e3
+    t_full = time.perf_counter() - t0
+    extra["cg_jacobi_ms_tet_cube"] = t_full * 1e3
     extra["cg_iters_tet_cube"] = int(res.iterations)
+    # Device-side estimate: difference out the fixed per-dispatch tunnel
+    # latency with a half-iteration run (t_full - t_half == time of the
+    # remaining iterations on device).
+    half = max(int(res.iterations) // 2, 1)
+    rh = solve(half)
+    _sync(rh.x)
+    t0 = time.perf_counter()
+    rh = solve(half)
+    _sync(rh.x)
+    t_half = time.perf_counter() - t0
+    frac = 1.0 - half / max(int(res.iterations), 1)
+    if t_full > t_half > 0 and frac > 0:
+        extra["cg_jacobi_ms_tet_cube_device_est"] = (t_full - t_half) / frac * 1e3
 
     # --- CG+AMG solve time on the 1M-DOF box (the BASELINE metric) -------
     from domain_decomposed_pde_solver_tpu.solvers import smoothed_aggregation_setup

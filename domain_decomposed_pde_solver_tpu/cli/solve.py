@@ -55,7 +55,6 @@ def main(argv=None) -> int:
 
     from ..io import ExodusSolutionWriter, read_exodus
     from ..models import assemble_heat_system
-    from ..ops import pad_vector, unpad_vector
     from ..parallel import decompose_mesh
     from ..solvers import cg_solve_snapshots, gmres_solve
     from ..utils import PhaseTimer, print_csr_matrix, print_vector
@@ -127,11 +126,19 @@ def main(argv=None) -> int:
         else:
             from ..ops import choose_operator
 
-            A = choose_operator(system.A, dtype=dtype)
+            # BSG (shuffle-gather Pallas SpMV, f32, permuted layout) is
+            # compatible only with preconditioners built from the operator
+            # itself (Jacobi/Chebyshev operate in the operator's space);
+            # AMG works on original-order vectors, so keep identity-layout
+            # formats there.
+            bsg_mode = (
+                "auto" if cfg.precond in ("none", "jacobi", "chebyshev") else "never"
+            )
+            A = choose_operator(system.A, dtype=dtype, bsg=bsg_mode)
             if cfg.verbose:
                 print(f"operator format: {type(A).__name__}")
-            b = pad_vector(system.b.astype(np.dtype(dtype)), A.n_pad)
-            x0 = pad_vector(x0_host.astype(np.dtype(dtype)), A.n_pad)
+            b = A.put_vector(system.b.astype(np.dtype(dtype)))
+            x0 = A.put_vector(x0_host.astype(np.dtype(dtype)))
             precond = _make_precond(cfg, A, system)
             writer = ExodusSolutionWriter(cfg.solution, out_mesh)
             writer.write_boundary_timestep()
@@ -155,7 +162,7 @@ def main(argv=None) -> int:
                         x_cur = result.x
                         total += max(int(result.iterations), 1)
                         writer.write_solution(
-                            unpad_vector(x_cur, system.n_free),
+                            A.get_vector(x_cur),
                             system.free_to_node, total,
                         )
                         if cfg.verbose:
@@ -169,10 +176,10 @@ def main(argv=None) -> int:
                         tol=cfg.tolerance, maxiter=cfg.iterations,
                     )
                     writer.write_solution(
-                        unpad_vector(result.x, system.n_free),
+                        A.get_vector(result.x),
                         system.free_to_node, int(result.iterations),
                     )
-                x_host = unpad_vector(result.x, system.n_free)
+                x_host = A.get_vector(result.x)
             elif cfg.solver == "bicgstab":
                 from ..solvers import bicgstab_solve
 
@@ -180,7 +187,7 @@ def main(argv=None) -> int:
                     A, b, x0, precond=precond, tol=cfg.tolerance,
                     maxiter=cfg.iterations,
                 )
-                x_host = unpad_vector(result.x, system.n_free)
+                x_host = A.get_vector(result.x)
                 writer.write_solution(
                     x_host, system.free_to_node, int(result.iterations)
                 )
@@ -192,7 +199,7 @@ def main(argv=None) -> int:
                     checkpoint_every=cfg.checkpoint_every,
                     precond=precond, tol=cfg.tolerance, maxiter=cfg.iterations,
                 )
-                x_host = unpad_vector(result.x, system.n_free)
+                x_host = A.get_vector(result.x)
                 writer.write_solution(
                     x_host, system.free_to_node, int(result.iterations)
                 )
@@ -201,7 +208,7 @@ def main(argv=None) -> int:
                 def snapshot(k, x, relres):
                     if cfg.snapshots:
                         writer.write_solution(
-                            unpad_vector(x, system.n_free), system.free_to_node, k
+                            A.get_vector(x), system.free_to_node, k
                         )
                     if cfg.verbose and k % cfg.report_after_iterations == 0:
                         print(f"iter {k}: relres {relres:.3e}")
@@ -210,7 +217,7 @@ def main(argv=None) -> int:
                     A, b, x0, precond=precond, tol=cfg.tolerance,
                     maxiter=cfg.iterations, callback=snapshot,
                 )
-                x_host = unpad_vector(result.x, system.n_free)
+                x_host = A.get_vector(result.x)
                 if not cfg.snapshots:
                     writer.write_solution(
                         x_host, system.free_to_node, int(result.iterations)

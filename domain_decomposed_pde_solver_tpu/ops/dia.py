@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .csr import CSRMatrix
-from .ell import ELLMatrix, ell_from_csr, pad_to
+from .ell import ELLMatrix, PaddedLayout, ell_from_csr, pad_to
 
 __all__ = ["DIAMatrix", "dia_from_csr", "choose_operator", "operator_bytes"]
 
@@ -37,7 +37,7 @@ __all__ = ["DIAMatrix", "dia_from_csr", "choose_operator", "operator_bytes"]
     meta_fields=["offsets", "n_rows", "compute_dtype"],
 )
 @dataclasses.dataclass
-class DIAMatrix:
+class DIAMatrix(PaddedLayout):
     """Diagonal-storage sparse matrix.
 
     ``data[d, i]`` is the coefficient of ``x[i + offsets[d]]`` in row ``i``
@@ -196,12 +196,19 @@ def dia_from_csr(
 
 
 def choose_operator(
-    csr: CSRMatrix, dtype=jnp.float32, max_diags: int = 64
+    csr: CSRMatrix, dtype=jnp.float32, max_diags: int = 64, bsg: str = "never"
 ):
     """Pick the fastest device format for this matrix.
 
     - DIA when the diagonal count is small (stencil/structured meshes):
       traffic is ``ndiags * n`` values but zero gathers;
+    - for unstructured matrices, BSG (shuffle-gather Pallas kernel, 17x
+      over Split-ELL on v5e) when ``bsg="auto"`` and the default device is
+      a TPU, or always when ``bsg="always"`` — note BSG computes in f32
+      and permutes its internal vector space, so callers must use the
+      uniform ``put_vector``/``get_vector`` interface and the caller's
+      preconditioner must operate in the operator's space (Jacobi and
+      Chebyshev built *from the returned operator* do);
     - otherwise Split-ELL when capping the row width saves >= 10% of the
       serialized memory ops (TPU gathers cost per padded slot);
     - plain ELL as the fallback.
@@ -209,6 +216,14 @@ def choose_operator(
     dia = dia_from_csr(csr, dtype=dtype, max_diags=max_diags)
     if dia is not None:
         return dia
+    if bsg == "always" or (
+        bsg == "auto"
+        and jnp.dtype(dtype) == jnp.float32
+        and jax.devices()[0].platform == "tpu"
+    ):
+        from .bsg import bsg_from_csr
+
+        return bsg_from_csr(csr)
     from .splitell import splitell_from_csr
 
     spl = splitell_from_csr(csr, dtype=dtype)
@@ -241,6 +256,12 @@ def operator_bytes(A) -> int:
 
     if isinstance(A, HYBMatrix):
         return operator_bytes(A.dia) + operator_bytes(A.ell)
+    from .bsg import BSGMatrix
+
+    if isinstance(A, BSGMatrix):
+        slots = A.n_tiles * A.max_mo * 8 * 128
+        vb = A.vals.dtype.itemsize
+        return slots * (vb + 1 + 1) + A.w0.size * 4 + 2 * A.n_pad * 4
     from .spmv import spmv_bytes
 
     return spmv_bytes(A)

@@ -32,13 +32,33 @@ def pad_to(n: int, multiple: int = 8) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+class PaddedLayout:
+    """Identity (non-permuting) padded vector layout.
+
+    Uniform host<->device vector interface shared by every operator format
+    whose internal vector space is "original order, zero-padded to n_pad"
+    (ELL, DIA, Split-ELL, HYB).  Formats with a *permuted* internal space
+    (:class:`..ops.bsg.BSGMatrix`) implement the same two methods
+    themselves, so solvers and CLIs can stay format-agnostic:
+    ``A.put_vector(host) -> device``, ``A.get_vector(device) -> host``.
+    """
+
+    def put_vector(self, x, dtype=None) -> jax.Array:
+        """Host (n,) vector -> device padded vector (input dtype kept)."""
+        return pad_vector(np.asarray(x), self.n_pad, dtype=dtype)
+
+    def get_vector(self, xp) -> np.ndarray:
+        """Device padded vector -> host (n,) vector."""
+        return unpad_vector(xp, self.n_rows)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["cols", "vals"],
     meta_fields=["n_rows", "n_cols"],
 )
 @dataclasses.dataclass
-class ELLMatrix:
+class ELLMatrix(PaddedLayout):
     """Row-padded sparse matrix.
 
     ``cols``: (n_pad, K) int32 — column index per slot (0 for padding).

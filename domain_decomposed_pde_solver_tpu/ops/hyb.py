@@ -25,7 +25,7 @@ import numpy as np
 
 from .csr import CSRMatrix, coo_to_csr
 from .dia import DIAMatrix
-from .ell import ELLMatrix, ell_from_csr, pad_to
+from .ell import ELLMatrix, PaddedLayout, ell_from_csr, pad_to
 
 __all__ = ["HYBMatrix", "hyb_from_csr", "rcm_permute"]
 
@@ -36,7 +36,7 @@ __all__ = ["HYBMatrix", "hyb_from_csr", "rcm_permute"]
     meta_fields=["n_rows"],
 )
 @dataclasses.dataclass
-class HYBMatrix:
+class HYBMatrix(PaddedLayout):
     """``A = dia + ell`` (both over the same padded row space)."""
 
     dia: DIAMatrix

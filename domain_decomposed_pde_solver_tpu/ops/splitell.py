@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .csr import CSRMatrix
-from .ell import pad_to
+from .ell import PaddedLayout, pad_to
 
 __all__ = ["SplitELLMatrix", "splitell_from_csr"]
 
@@ -33,7 +33,7 @@ __all__ = ["SplitELLMatrix", "splitell_from_csr"]
     meta_fields=["n_rows", "n_cols"],
 )
 @dataclasses.dataclass
-class SplitELLMatrix:
+class SplitELLMatrix(PaddedLayout):
     cols: jax.Array  # (n_pad, K*) int32
     vals: jax.Array  # (n_pad, K*)
     tail_rows: jax.Array  # (t_pad,) int32 (0 for padding, with val 0)

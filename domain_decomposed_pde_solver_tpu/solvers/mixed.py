@@ -25,7 +25,6 @@ import numpy as np
 
 from ..ops.csr import CSRMatrix
 from ..ops.dia import choose_operator
-from ..ops.ell import pad_vector, unpad_vector
 from .cg import cg_solve
 from .precond.jacobi import DiagonalPreconditioner
 
@@ -76,8 +75,10 @@ def iterative_refinement_solve(
     while relres > tol and refinements < max_refinements:
         r = b - A.matvec(x)  # f64 residual on host
         rnorm = float(np.linalg.norm(r)) or 1.0
-        # Scale so the f32 inner solve works near unit magnitude.
-        r32 = pad_vector((r / rnorm).astype(np.float32), A32.n_pad)
+        # Scale so the f32 inner solve works near unit magnitude.  The
+        # uniform put/get interface keeps this agnostic to the operator's
+        # internal layout (identity-padded ELL/DIA or permuted BSG).
+        r32 = A32.put_vector((r / rnorm).astype(np.float32))
         res = cg_solve(
             A32,
             r32,
@@ -86,7 +87,7 @@ def iterative_refinement_solve(
             tol=inner_tol,
             maxiter=inner_maxiter,
         )
-        d = unpad_vector(res.x, n).astype(np.float64) * rnorm
+        d = A32.get_vector(res.x).astype(np.float64) * rnorm
         x = x + d
         inner_total += int(res.iterations)
         refinements += 1
