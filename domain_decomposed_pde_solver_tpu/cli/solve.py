@@ -263,6 +263,13 @@ def _make_precond(cfg, A, system):
     if cfg.precond == "chebyshev":
         lmax = estimate_lmax_dinv_a(A)
         return chebyshev_preconditioner(A, lmax)
+    if cfg.precond == "ilu0":
+        # Reference-parity incomplete factorization (the reference's
+        # production preconditioner family, ``BelosMueLuSolver.cpp:92-97``);
+        # host factorization + level-scheduled device triangular solves.
+        from ..solvers import ilu0_preconditioner
+
+        return ilu0_preconditioner(system.A, n_pad=A.n_pad, dtype=A.dtype)
     if cfg.precond == "amg":
         from ..solvers.precond.amg import infer_free_grid
 

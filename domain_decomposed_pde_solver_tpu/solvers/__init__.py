@@ -14,7 +14,9 @@ from .mixed import MixedSolveResult, iterative_refinement_solve
 from .power import PowerResult, power_method
 from .precond import (
     AMGPreconditioner,
+    ILU0Preconditioner,
     chebyshev_preconditioner,
+    ilu0_preconditioner,
     estimate_lmax_dinv_a,
     jacobi_preconditioner,
     smoothed_aggregation_setup,
@@ -41,4 +43,6 @@ __all__ = [
     "estimate_lmax_dinv_a",
     "AMGPreconditioner",
     "smoothed_aggregation_setup",
+    "ILU0Preconditioner",
+    "ilu0_preconditioner",
 ]

@@ -1,4 +1,4 @@
-"""Preconditioners: Jacobi, Chebyshev, smoothed-aggregation AMG."""
+"""Preconditioners: Jacobi, Chebyshev, ILU(0), smoothed-aggregation AMG."""
 
 from .jacobi import DiagonalPreconditioner, jacobi_preconditioner
 from .chebyshev import (
@@ -7,6 +7,7 @@ from .chebyshev import (
     estimate_lmax_dinv_a,
 )
 from .wrappers import CastPreconditioner
+from .ilu import ILU0Preconditioner, ilu0_factor, ilu0_preconditioner
 from .amg import (
     AMGPreconditioner,
     aggregate_greedy,
@@ -19,6 +20,9 @@ __all__ = [
     "DiagonalPreconditioner",
     "ChebyshevPreconditioner",
     "CastPreconditioner",
+    "ILU0Preconditioner",
+    "ilu0_factor",
+    "ilu0_preconditioner",
     "jacobi_preconditioner",
     "chebyshev_preconditioner",
     "estimate_lmax_dinv_a",

@@ -81,6 +81,15 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.pack_ell_f32.argtypes = [_i64p, _i64p, _f64p, _i64, _i64, _i64, _i32p, _f32p]
         lib.pack_ell_f64.restype = None
         lib.pack_ell_f64.argtypes = [_i64p, _i64p, _f64p, _i64, _i64, _i64, _i32p, _f64p]
+        lib.ilu0.restype = _i64
+        lib.ilu0.argtypes = [_i64p, _i64p, _f64p, _i64, _i64p]
+        lib.tri_levels.restype = _i64
+        lib.tri_levels.argtypes = [_i64p, _i64p, _i64, _i64, _i64p]
+        lib.rap_galerkin.restype = _i64
+        lib.rap_galerkin.argtypes = [
+            _i64p, _i64p, _f64p, _i64p, _i64p, _f64p, _i64, _i64, _i64p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -153,6 +162,60 @@ def rcm_order_native(indptr: np.ndarray, indices: np.ndarray, n: int):
         perm,
     )
     return perm
+
+
+def ilu0_native(indptr, indices, data, n):
+    """In-place ILU(0) on a column-sorted CSR; returns (lu_data, diag_pos)
+    or None if the native library is unavailable.  Raises on zero pivot."""
+    lib = load_native()
+    if lib is None:
+        return None
+    lu = np.ascontiguousarray(data, np.float64).copy()
+    diag_pos = np.zeros(n, dtype=np.int64)
+    rc = lib.ilu0(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int64),
+        lu, n, diag_pos,
+    )
+    if rc != 0:
+        raise ZeroDivisionError(f"ILU(0): zero pivot at row {int(rc) - 1}")
+    return lu, diag_pos
+
+
+def tri_levels_native(indptr, indices, n, lower: bool):
+    """Level schedule for a triangular solve; (levels, n_levels) or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+    level = np.zeros(n, dtype=np.int64)
+    nlev = lib.tri_levels(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int64),
+        n, 1 if lower else 0, level,
+    )
+    return level, int(nlev)
+
+
+def rap_galerkin_native(Ap, Ai, Ax, Pp, Pi, Px, n_f, n_c):
+    """C = P^T A P as (indptr, indices, data); None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    Ap = np.ascontiguousarray(Ap, np.int64)
+    Ai = np.ascontiguousarray(Ai, np.int64)
+    Ax = np.ascontiguousarray(Ax, np.float64)
+    Pp = np.ascontiguousarray(Pp, np.int64)
+    Pi = np.ascontiguousarray(Pi, np.int64)
+    Px = np.ascontiguousarray(Px, np.float64)
+    Cp = np.zeros(n_c + 1, dtype=np.int64)
+    nnz = lib.rap_galerkin(Ap, Ai, Ax, Pp, Pi, Px, n_f, n_c, Cp, None, None)
+    Ci = np.zeros(nnz, dtype=np.int64)
+    Cx = np.zeros(nnz, dtype=np.float64)
+    lib.rap_galerkin(
+        Ap, Ai, Ax, Pp, Pi, Px, n_f, n_c, Cp,
+        Ci.ctypes.data_as(ctypes.c_void_p), Cx.ctypes.data_as(ctypes.c_void_p),
+    )
+    return Cp, Ci, Cx
 
 
 def pack_ell_native(indptr, indices, data, n, n_pad, K, dtype):

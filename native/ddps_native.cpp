@@ -230,4 +230,142 @@ void pack_ell_f64(const int64_t* indptr, const int64_t* indices,
   }
 }
 
+// ---------------------------------------------------------------------------
+// ILU(0): incomplete LU factorization with zero fill-in, in place on the CSR
+// value array (columns must be sorted within rows; pattern unchanged).
+//
+// The TPU-native analogue of the Ifpack2 ILUT setup the reference uses as
+// its production preconditioner (BelosMueLuSolver.cpp:92-97) — level 0
+// instead of thresholded fill, which is the standard parity baseline.
+// IKJ ordering with a per-row position map: O(sum_i deg_i^2 / 2).
+// diag_pos[out]: value-array position of each row's diagonal.
+// Returns 0 on success, (i+1) if row i has a zero/missing pivot.
+// ---------------------------------------------------------------------------
+int64_t ilu0(const int64_t* indptr, const int64_t* indices, double* data,
+             int64_t n, int64_t* diag_pos /* out, n */) {
+  std::vector<int64_t> pos(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    diag_pos[i] = -1;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      pos[indices[p]] = p;
+      if (indices[p] == i) diag_pos[i] = p;
+    }
+    if (diag_pos[i] < 0) return i + 1;  // structurally missing pivot
+    for (int64_t p = indptr[i]; p < indptr[i + 1] && indices[p] < i; ++p) {
+      const int64_t k = indices[p];
+      const double pivot = data[diag_pos[k]];
+      if (pivot == 0.0) return k + 1;
+      const double lik = data[p] / pivot;
+      data[p] = lik;
+      for (int64_t q = diag_pos[k] + 1; q < indptr[k + 1]; ++q) {
+        const int64_t pp = pos[indices[q]];
+        if (pp >= 0) data[pp] -= lik * data[q];
+      }
+    }
+    if (data[diag_pos[i]] == 0.0) return i + 1;  // numerically zero pivot
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) pos[indices[p]] = -1;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Level schedule for a sparse triangular solve: level[i] = 1 + max level of
+// the dependencies of row i (strictly-lower neighbors for a lower solve,
+// strictly-upper for an upper solve).  Rows within one level are mutually
+// independent, so the device sweep can process a whole level in parallel.
+// Returns the number of levels.
+// ---------------------------------------------------------------------------
+int64_t tri_levels(const int64_t* indptr, const int64_t* indices, int64_t n,
+                   int64_t lower, int64_t* level /* out, n */) {
+  int64_t nlev = 0;
+  if (lower) {
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t lv = 0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1] && indices[p] < i; ++p)
+        lv = std::max(lv, level[indices[p]] + 1);
+      level[i] = lv;
+      nlev = std::max(nlev, lv + 1);
+    }
+  } else {
+    for (int64_t i = n - 1; i >= 0; --i) {
+      int64_t lv = 0;
+      for (int64_t p = indptr[i + 1] - 1; p >= indptr[i] && indices[p] > i; --p)
+        lv = std::max(lv, level[indices[p]] + 1);
+      level[i] = lv;
+      nlev = std::max(nlev, lv + 1);
+    }
+  }
+  return nlev;
+}
+
+// ---------------------------------------------------------------------------
+// Galerkin triple product C = P^T A P (the SA-AMG coarse-operator build,
+// solvers/precond/amg.py) — native Gustavson with a dense coarse-row
+// accumulator.  scipy's two-pass spgemm dominated AMG setup time
+// (~2 s at 1M DOF); this single fused pass with the transpose built once is
+// ~an order cheaper in allocations.
+// A: (n_f x n_f) CSR; P: (n_f x n_c) CSR.  Two-call protocol like
+// node_adjacency: first call with Ci == nullptr fills Cp and returns nnz;
+// second call fills Ci/Cx (columns sorted).
+// ---------------------------------------------------------------------------
+int64_t rap_galerkin(const int64_t* Ap, const int64_t* Ai, const double* Ax,
+                     const int64_t* Pp, const int64_t* Pi, const double* Px,
+                     int64_t n_f, int64_t n_c, int64_t* Cp /* n_c+1 */,
+                     int64_t* Ci /* nullable */, double* Cx /* nullable */) {
+  // R = P^T in CSR (n_c rows).
+  std::vector<int64_t> Rp(n_c + 1, 0), Ri(Pp[n_f]);
+  std::vector<double> Rx(Pp[n_f]);
+  for (int64_t p = 0; p < Pp[n_f]; ++p) Rp[Pi[p] + 1]++;
+  for (int64_t c = 0; c < n_c; ++c) Rp[c + 1] += Rp[c];
+  {
+    std::vector<int64_t> cur(Rp.begin(), Rp.end() - 1);
+    for (int64_t i = 0; i < n_f; ++i)
+      for (int64_t p = Pp[i]; p < Pp[i + 1]; ++p) {
+        const int64_t q = cur[Pi[p]]++;
+        Ri[q] = i;
+        Rx[q] = Px[p];
+      }
+  }
+  std::vector<double> acc(n_c, 0.0);
+  std::vector<char> mark(n_c, 0);
+  std::vector<int64_t> touched;
+  int64_t nnz = 0;
+  Cp[0] = 0;
+  for (int64_t c = 0; c < n_c; ++c) {
+    touched.clear();
+    for (int64_t rp = Rp[c]; rp < Rp[c + 1]; ++rp) {
+      const int64_t k = Ri[rp];
+      const double rv = Rx[rp];
+      for (int64_t ap = Ap[k]; ap < Ap[k + 1]; ++ap) {
+        const int64_t j = Ai[ap];
+        const double av = rv * Ax[ap];
+        for (int64_t pp = Pp[j]; pp < Pp[j + 1]; ++pp) {
+          const int64_t cc = Pi[pp];
+          if (!mark[cc]) {
+            mark[cc] = 1;
+            touched.push_back(cc);
+          }
+          acc[cc] += av * Px[pp];
+        }
+      }
+    }
+    std::sort(touched.begin(), touched.end());
+    if (Ci) {
+      for (int64_t cc : touched) {
+        Ci[nnz] = cc;
+        Cx[nnz] = acc[cc];
+        ++nnz;
+      }
+    } else {
+      nnz += static_cast<int64_t>(touched.size());
+    }
+    for (int64_t cc : touched) {
+      mark[cc] = 0;
+      acc[cc] = 0.0;
+    }
+    Cp[c + 1] = nnz;
+  }
+  return nnz;
+}
+
 }  // extern "C"
