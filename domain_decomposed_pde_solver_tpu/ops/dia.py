@@ -137,6 +137,12 @@ def _bf16_exact(vals: np.ndarray) -> bool:
     software-emulated and ~100x slower at 10M+ nnz.  A sampled prefix
     short-circuits the common inexact case."""
 
+    from ..utils.native import bf16_exact_native
+
+    res = bf16_exact_native(vals)
+    if res is not None:
+        return res
+
     def _ok(chunk: np.ndarray) -> bool:
         f32 = np.ascontiguousarray(chunk, dtype=np.float32)
         if not np.array_equal(f32.astype(np.float64),
@@ -167,15 +173,29 @@ def dia_from_csr(
     n = csr.n_rows
     if csr.n_cols != n:
         return None
-    rows = np.repeat(np.arange(n), csr.row_lengths())
-    offs = csr.indices - rows
-    uniq = np.unique(offs)
-    if uniq.size > max_diags:
-        return None
     n_pad = pad_to(max(n, 1), row_multiple)
-    data = np.zeros((uniq.size, n_pad), dtype=np.dtype(dtype))
-    dpos = np.searchsorted(uniq, offs)
-    data[dpos, rows] = csr.data.astype(np.dtype(dtype))
+    data = None
+    if np.dtype(dtype) == np.float32:
+        # Native single-pass detect+pack (the NumPy form below needs three
+        # nnz-sized temporaries plus a sort: ~3.5 s at 19M nnz vs ~0.2 s).
+        from ..utils.native import pack_dia_native
+
+        packed = pack_dia_native(
+            csr.indptr, csr.indices, csr.data, n, n_pad, max_diags
+        )
+        if packed == "toomany":
+            return None
+        if packed is not None:
+            uniq, data = packed
+    if data is None:
+        rows = np.repeat(np.arange(n), csr.row_lengths())
+        offs = csr.indices - rows
+        uniq = np.unique(offs)
+        if uniq.size > max_diags:
+            return None
+        data = np.zeros((uniq.size, n_pad), dtype=np.dtype(dtype))
+        dpos = np.searchsorted(uniq, offs)
+        data[dpos, rows] = csr.data.astype(np.dtype(dtype))
     compute = ""
     dev_data = jnp.asarray(data)
     if (

@@ -90,6 +90,17 @@ def load_native() -> Optional[ctypes.CDLL]:
             _i64p, _i64p, _f64p, _i64p, _i64p, _f64p, _i64, _i64, _i64p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.pack_dia_f32.restype = _i64
+        lib.pack_dia_f32.argtypes = [
+            _i64p, _i64p, _f64p, _i64, _i64, _i64, _i64p, ctypes.c_void_p,
+        ]
+        lib.sa_prolongator.restype = _i64
+        lib.sa_prolongator.argtypes = [
+            _i64p, _i64p, _f64p, _i64p, _f64p, _f64p, _i64, _i64, _i64p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.bf16_exact.restype = _i64
+        lib.bf16_exact.argtypes = [_f64p, _i64]
         _lib = lib
         return _lib
 
@@ -216,6 +227,59 @@ def rap_galerkin_native(Ap, Ai, Ax, Pp, Pi, Px, n_f, n_c):
         Ci.ctypes.data_as(ctypes.c_void_p), Cx.ctypes.data_as(ctypes.c_void_p),
     )
     return Cp, Ci, Cx
+
+
+def sa_prolongator_native(Ap, Ai, Ax, agg, tval, s_over_d, n_f, n_c):
+    """P = (I - s D^-1 A) T as (indptr, indices, data); None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    Ap = np.ascontiguousarray(Ap, np.int64)
+    Ai = np.ascontiguousarray(Ai, np.int64)
+    Ax = np.ascontiguousarray(Ax, np.float64)
+    agg = np.ascontiguousarray(agg, np.int64)
+    tval = np.ascontiguousarray(tval, np.float64)
+    s_over_d = np.ascontiguousarray(s_over_d, np.float64)
+    Pp = np.zeros(n_f + 1, dtype=np.int64)
+    nnz = lib.sa_prolongator(Ap, Ai, Ax, agg, tval, s_over_d, n_f, n_c, Pp, None, None)
+    Pi = np.zeros(nnz, dtype=np.int64)
+    Px = np.zeros(nnz, dtype=np.float64)
+    lib.sa_prolongator(
+        Ap, Ai, Ax, agg, tval, s_over_d, n_f, n_c, Pp,
+        Pi.ctypes.data_as(ctypes.c_void_p), Px.ctypes.data_as(ctypes.c_void_p),
+    )
+    return Pp, Pi, Px
+
+
+def bf16_exact_native(data):
+    """1/0 bf16-roundtrip exactness, or None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.float64)
+    return bool(lib.bf16_exact(data, data.size))
+
+
+def pack_dia_native(indptr, indices, data, n, n_pad, max_diags):
+    """DIA detection + f32 packing: (offsets, data (ndiags, n_pad) f32),
+    "toomany" if the matrix has more than max_diags diagonals, or None if
+    the native library is unavailable."""
+    lib = load_native()
+    if lib is None or n == 0:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    data = np.ascontiguousarray(data, np.float64)
+    offsets = np.zeros(max_diags + 1, dtype=np.int64)
+    nd = lib.pack_dia_f32(indptr, indices, data, n, n_pad, max_diags, offsets, None)
+    if nd < 0:
+        return "toomany"
+    out = np.zeros((nd, n_pad), dtype=np.float32)
+    lib.pack_dia_f32(
+        indptr, indices, data, n, n_pad, nd, offsets,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return offsets[:nd], out
 
 
 def pack_ell_native(indptr, indices, data, n, n_pad, K, dtype):

@@ -299,6 +299,121 @@ int64_t tri_levels(const int64_t* indptr, const int64_t* indices, int64_t n,
 }
 
 // ---------------------------------------------------------------------------
+// DIA packing: detect the distinct diagonals of a CSR matrix and scatter the
+// values into (ndiags, n_pad) float32 storage (ops/dia.py::dia_from_csr hot
+// path — NumPy needed three 19M-element temporaries + a sort at 1M DOF).
+// Two-call protocol: with data_out == nullptr, fills offsets_out (ascending)
+// and returns ndiags, or -1 as soon as the count exceeds max_diags (early
+// exit — unstructured matrices bail in one partial pass).  Second call
+// scatters values.
+// ---------------------------------------------------------------------------
+int64_t pack_dia_f32(const int64_t* indptr, const int64_t* indices,
+                     const double* data, int64_t n, int64_t n_pad,
+                     int64_t max_diags, int64_t* offsets_out,
+                     float* data_out /* nullable, (ndiags, n_pad) */) {
+  // Offset lookup over [-(n-1), n-1], stored shifted by (n-1).
+  std::vector<int32_t> lut(2 * n - 1, -1);
+  if (data_out == nullptr) {
+    int64_t ndiags = 0;
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+        const int64_t key = indices[p] - i + (n - 1);
+        if (lut[key] < 0) {
+          lut[key] = 1;
+          if (++ndiags > max_diags) return -1;
+        }
+      }
+    int64_t k = 0;
+    for (int64_t key = 0; key < 2 * n - 1; ++key)
+      if (lut[key] >= 0) offsets_out[k++] = key - (n - 1);
+    return ndiags;
+  }
+  // Fill pass: offsets_out holds the ascending diagonal list and the
+  // caller passes the actual diagonal count via max_diags.
+  const int64_t ndiags = max_diags;
+  for (int64_t d = 0; d < ndiags; ++d) lut[offsets_out[d] + (n - 1)] = d;
+  std::memset(data_out, 0, sizeof(float) * ndiags * n_pad);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int64_t d = lut[indices[p] - i + (n - 1)];
+      data_out[d * n_pad + i] = static_cast<float>(data[p]);
+    }
+  return ndiags;
+}
+
+// ---------------------------------------------------------------------------
+// Smoothed-aggregation prolongator P = (I - s D^-1 A) T, built directly from
+// the aggregate assignment (amg.py's scipy chain A@T -> Dinv@ -> T-):
+//   P[i, c] = tval[c] * ( [agg[i] == c]  -  s_over_d[i] * sum_{j in c} A[i,j] )
+// Row i touches exactly the aggregates of its neighbors (plus its own), so
+// one pass with a small per-row dedup map suffices.  Two-call protocol.
+// ---------------------------------------------------------------------------
+int64_t sa_prolongator(const int64_t* Ap, const int64_t* Ai, const double* Ax,
+                       const int64_t* agg, const double* tval,
+                       const double* s_over_d, int64_t n_f, int64_t n_c,
+                       int64_t* Pp /* n_f+1 */, int64_t* Pi /* nullable */,
+                       double* Px /* nullable */) {
+  std::vector<double> acc(n_c, 0.0);
+  std::vector<char> mark(n_c, 0);
+  std::vector<int64_t> touched;
+  int64_t nnz = 0;
+  Pp[0] = 0;
+  for (int64_t i = 0; i < n_f; ++i) {
+    touched.clear();
+    const double s = s_over_d[i];
+    for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+      const int64_t c = agg[Ai[p]];
+      if (c < 0) continue;  // unaggregated neighbor (shouldn't happen)
+      if (!mark[c]) {
+        mark[c] = 1;
+        touched.push_back(c);
+      }
+      acc[c] -= s * Ax[p];
+    }
+    const int64_t ci = agg[i];
+    if (ci >= 0) {
+      if (!mark[ci]) {
+        mark[ci] = 1;
+        touched.push_back(ci);
+      }
+      acc[ci] += 1.0;
+    }
+    std::sort(touched.begin(), touched.end());
+    if (Pi) {
+      for (int64_t c : touched) {
+        Pi[nnz] = c;
+        Px[nnz] = tval[c] * acc[c];
+        ++nnz;
+      }
+    } else {
+      nnz += static_cast<int64_t>(touched.size());
+    }
+    for (int64_t c : touched) {
+      mark[c] = 0;
+      acc[c] = 0.0;
+    }
+    Pp[i + 1] = nnz;
+  }
+  return nnz;
+}
+
+// ---------------------------------------------------------------------------
+// bfloat16 exactness check: 1 iff every f64 value round-trips f64 -> f32 ->
+// (f32 with low 16 mantissa bits zero).  One pass, no temporaries (the NumPy
+// form allocated two nnz-sized arrays: ~1 s at 19M nnz).
+// ---------------------------------------------------------------------------
+int64_t bf16_exact(const double* data, int64_t nnz) {
+  for (int64_t i = 0; i < nnz; ++i) {
+    const float f = static_cast<float>(data[i]);
+    if (static_cast<double>(f) != data[i]) return 0;
+    uint32_t bits;
+    std::memcpy(&bits, &f, 4);
+    if (bits & 0xFFFFu) return 0;
+  }
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
 // Galerkin triple product C = P^T A P (the SA-AMG coarse-operator build,
 // solvers/precond/amg.py) — native Gustavson with a dense coarse-row
 // accumulator.  scipy's two-pass spgemm dominated AMG setup time
