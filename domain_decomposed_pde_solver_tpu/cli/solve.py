@@ -300,6 +300,36 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
         sharded_gmres_solve,
     )
 
+    # Structured meshes + AMG: the sharded *global* hierarchy (slab fine
+    # level + local brick transfers + replicated coarse tail) gives
+    # P-independent iteration counts — identical to the single-device
+    # hierarchy (parallel/slabamg.py).  Falls through to block-Schwarz for
+    # unstructured meshes.
+    if cfg.precond == "amg" and cfg.solver != "gmres":
+        from ..parallel.slabamg import build_slab_amg, slab_amg_cg_solve
+        from ..solvers.precond.amg import infer_free_grid
+
+        dims = (
+            infer_free_grid(system.mesh, system.free_to_node)
+            if system.mesh is not None
+            else None
+        )
+        if dims is not None and int(np.prod(dims)) == system.A.n_rows:
+            samg = build_slab_amg(
+                system.A, dims, cfg.partitions, dtype=np.dtype(dtype)
+            )
+            if samg is not None:
+                x_host, result = slab_amg_cg_solve(
+                    samg,
+                    system.b.astype(np.dtype(dtype)),
+                    x0_host.astype(np.dtype(dtype)),
+                    tol=cfg.tolerance,
+                    maxiter=cfg.iterations,
+                )
+                if snapshot_cb is not None:
+                    snapshot_cb(int(result.iterations), x_host)
+                return result, x_host
+
     A = system.A
     rows = np.repeat(np.arange(A.n_rows), A.row_lengths())
     off = rows != A.indices

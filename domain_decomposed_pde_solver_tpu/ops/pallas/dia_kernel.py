@@ -1,11 +1,12 @@
 """Pallas TPU kernel: DIA (stencil) SpMV.
 
 The DIA matvec is a sum of shifted elementwise multiply-adds.  The XLA
-lowering (jnp.roll per diagonal) re-reads ``x`` once per diagonal from HBM
-unless fusion catches it; this kernel makes the optimal schedule explicit:
+lowering (one window slice per diagonal) re-reads ``x`` from HBM once per
+diagonal unless fusion catches it; this kernel makes the optimal schedule
+explicit:
 
 - ``x`` (edge-padded so every shifted window is in-bounds) sits in VMEM for
-  the whole sweep;
+  the whole sweep as a ``(rows, 128)`` 2-D array;
 - the diagonal-coefficient matrix streams through VMEM in row-chunks
   (grid over chunks);
 - each chunk accumulates all shifted products in registers and writes ``y``
@@ -13,6 +14,14 @@ unless fusion catches it; this kernel makes the optimal schedule explicit:
 
 Traffic = data once + x once + y once — the speed-of-light schedule for the
 format (see pallas_guide "Grid and Block Specifications", "Memory Spaces").
+
+Mosaic constraint (measured on v5e): 1-D dynamic VMEM loads must be
+1024-aligned, which arbitrary diagonal offsets are not.  The kernel instead
+decomposes each shift ``s = 128*R + r``: a *row*-window dynamic slice
+(supported unaligned) handles the ``R`` part, and a static lane rotation —
+two ``take_along_axis`` lane shuffles + a select, all constants baked per
+diagonal — handles the ``r`` part.
+
 Falls back transparently: :func:`dia_spmv_pallas` takes the same
 (DIAMatrix, x) pair as the jnp path and is validated against it in
 interpreter mode on CPU.
@@ -30,22 +39,38 @@ from ..dia import DIAMatrix
 
 __all__ = ["dia_spmv_pallas"]
 
+LANES = 128
 
-def _kernel(offsets, span_neg, chunk, x_ref, data_ref, y_ref):
+
+def _kernel(offsets, span_neg, chunk, x2_ref, data_ref, y_ref):
     import jax.experimental.pallas as pl
 
     pid = pl.program_id(0)
-    base = pid * chunk + span_neg
-    acc = jnp.zeros((chunk,), x_ref.dtype)
+    crows = chunk // LANES
+    acc = jnp.zeros((crows, LANES), jnp.float32)
     for d, off in enumerate(offsets):
-        window = x_ref[pl.ds(base + off, chunk)]
-        acc = acc + data_ref[d, :] * window
-    y_ref[:] = acc
+        c = span_neg + off  # >= 0 by construction of the edge padding
+        R0, r = divmod(c, LANES)
+        W = x2_ref[pl.ds(pid * crows + R0, crows + 1), :]
+        if r == 0:
+            shifted = W[:-1, :]
+        else:
+            # Static lane rotation by r, built from in-kernel iotas (Pallas
+            # kernels may not capture host constants).
+            idx = jax.lax.broadcasted_iota(jnp.int32, (crows, LANES), 1)
+            lane2 = jax.lax.rem(idx + r, LANES)
+            use_next = idx + r >= LANES
+            g_top = jnp.take_along_axis(W[:-1, :], lane2, axis=1)
+            g_bot = jnp.take_along_axis(W[1:, :], lane2, axis=1)
+            shifted = jnp.where(use_next, g_bot, g_top)
+        coeff = data_ref[d, :].reshape(crows, LANES).astype(jnp.float32)
+        acc = acc + coeff * shifted
+    y_ref[...] = acc.astype(y_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret", "chunk"))
 def dia_spmv_pallas(
-    A: DIAMatrix, x_padded: jax.Array, *, chunk: int = 1024, interpret: bool = False
+    A: DIAMatrix, x_padded: jax.Array, *, chunk: int = 2048, interpret: bool = False
 ) -> jax.Array:
     """y = A @ x via the Pallas kernel.  Same contract as ``A.matvec``."""
     import jax.experimental.pallas as pl
@@ -59,27 +84,30 @@ def dia_spmv_pallas(
     # always in-bounds (padding multiplies structurally-zero coefficients).
     n_grid = -(-n_pad // chunk)
     n_round = n_grid * chunk
-    x_ext = jnp.zeros(span_neg + n_round + span_pos, x_padded.dtype)
+    # 2-D VMEM layout: enough guard rows that every (crows+1)-row window of
+    # every diagonal stays in-bounds.
+    ext = span_neg + n_round + span_pos
+    rows2 = -(-ext // LANES) + 1
+    x_ext = jnp.zeros(rows2 * LANES, x_padded.dtype)
     x_ext = x_ext.at[span_neg : span_neg + n_pad].set(x_padded)
-    data = A.data.astype(x_padded.dtype)  # DIA storage may be narrower (bf16)
+    x2 = x_ext.reshape(rows2, LANES)
+    data = A.data  # possibly bf16 storage; the kernel upcasts per chunk
     if n_round != n_pad:
         data = jnp.pad(data, ((0, 0), (0, n_round - n_pad)))
 
     kernel = partial(_kernel, offsets, span_neg, chunk)
+    crows = chunk // LANES
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_round,), x_padded.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_grid * crows, LANES), x_padded.dtype),
         grid=(n_grid,),
         in_specs=[
-            # x resident in VMEM for the whole sweep (fits for <~3M rows
-            # in f32; larger problems are sharded into slabs first anyway).
+            # x resident in VMEM for the whole sweep (fits to ~25M rows in
+            # f32; larger problems are sharded into slabs first anyway).
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (len(offsets), chunk),
-                lambda i: (0, i),
-            ),
+            pl.BlockSpec((len(offsets), chunk), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((chunk,), lambda i: (i,)),
+        out_specs=pl.BlockSpec((crows, LANES), lambda i: (i, 0)),
         interpret=interpret,
-    )(x_ext, data)
-    return y[:n_pad]
+    )(x2, data)
+    return y.reshape(n_grid * chunk)[:n_pad]
