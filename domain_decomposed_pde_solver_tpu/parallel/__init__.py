@@ -15,6 +15,12 @@ from .decompose import decompose_mesh, write_decomposition
 from .ownership import node_ownership_from_element_partition
 from .schwarz import build_block_amg
 from .slab import SlabDIAPlan, build_slab_plan, slab_cg_solve
+from .slabamg import SlabAMG, build_slab_amg, slab_amg_cg_solve
+from .multihost import (
+    initialize_multihost,
+    multihost_slab_cg_solve,
+    put_global,
+)
 from .slabbrick import SlabBrickPrecond, build_slab_brick_precond
 from .sharded import (
     ShardedOperator,
@@ -41,6 +47,12 @@ __all__ = [
     "node_ownership_from_element_partition",
     "build_block_amg",
     "SlabDIAPlan",
+    "SlabAMG",
+    "build_slab_amg",
+    "slab_amg_cg_solve",
+    "initialize_multihost",
+    "multihost_slab_cg_solve",
+    "put_global",
     "build_slab_plan",
     "slab_cg_solve",
     "SlabBrickPrecond",
