@@ -12,7 +12,7 @@ matrices from edge geometry), with the same nodeset-based Dirichlet
 elimination and RHS-lifting machinery as the heat model: for boundary value
 g, solve ``K_ff x = f - K_fb g``.
 
-Supports TRI3 (2D, embedded in 3D via in-plane coordinates) and TETRA4.
+Supports TRI3 (2D, embedded in 3D via in-plane coordinates), TETRA4, and\nHEX8 (trilinear hexes, 2x2x2 Gauss), with quad-face surface integrals for\nhex boundaries.
 The resulting :class:`..models.heat.HeatSystem`-shaped output plugs into
 every solver/preconditioner/partitioner unchanged.
 """
@@ -31,49 +31,86 @@ from .heat import HeatSystem
 __all__ = ["assemble_poisson_fem", "surface_load", "surface_mass_coo"]
 
 
-def _face_measures(coords: np.ndarray, faces: np.ndarray) -> np.ndarray:
-    """(nf,) length/area of k=2 edges or k=3 triangle faces."""
+_G1 = 1.0 / np.sqrt(3.0)  # 2-point Gauss abscissa on [-1, 1]
+# Bilinear quad reference signs in circular (Exodus side) node order.
+_QUAD_SIGNS = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], dtype=np.float64)
+
+
+def _surface_terms_of(coords: np.ndarray, faces: np.ndarray):
+    """Exact P1/Q1 surface integrals for one face family.
+
+    Returns ``(loadw (nf, k), mass (nf, k, k))`` with
+    ``loadw[f, i] = integral_f(phi_i)`` and
+    ``mass[f, i, j] = integral_f(phi_i phi_j)``.
+
+    - k=2 straight edges and k=3 triangles: closed forms (measure/k and the
+      consistent-mass templates).
+    - k=4 bilinear quads (HEX8 boundary faces): 2x2 Gauss over the
+      reference square with the position-dependent surface Jacobian
+      ``|dr/dxi x dr/deta|`` — exact for planar quads and the standard
+      quadrature for warped ones (no planarity assumption).
+    """
     p = coords[faces]
-    if faces.shape[1] == 2:
-        return np.linalg.norm(p[:, 1] - p[:, 0], axis=1)
-    if faces.shape[1] == 3:
-        return 0.5 * np.linalg.norm(
+    k = faces.shape[1]
+    if k == 2:
+        L = np.linalg.norm(p[:, 1] - p[:, 0], axis=1)
+        loadw = np.repeat((L / 2.0)[:, None], 2, axis=1)
+        local = np.array([[2.0, 1.0], [1.0, 2.0]]) / 6.0
+        return loadw, L[:, None, None] * local[None]
+    if k == 3:
+        A = 0.5 * np.linalg.norm(
             np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]), axis=1
         )
+        loadw = np.repeat((A / 3.0)[:, None], 3, axis=1)
+        local = (np.ones((3, 3)) + np.eye(3)) / 12.0
+        return loadw, A[:, None, None] * local[None]
+    if k == 4:
+        nf = faces.shape[0]
+        loadw = np.zeros((nf, 4))
+        mass = np.zeros((nf, 4, 4))
+        sx, se = _QUAD_SIGNS[:, 0], _QUAD_SIGNS[:, 1]
+        for gx in (-_G1, _G1):
+            for ge in (-_G1, _G1):
+                N = 0.25 * (1 + sx * gx) * (1 + se * ge)  # (4,)
+                dNdx = 0.25 * sx * (1 + se * ge)  # (4,)
+                dNde = 0.25 * se * (1 + sx * gx)  # (4,)
+                rx = np.einsum("a,nai->ni", dNdx, p)  # (nf, 3)
+                re = np.einsum("a,nai->ni", dNde, p)
+                detJ = np.linalg.norm(np.cross(rx, re), axis=1)  # (nf,)
+                loadw += detJ[:, None] * N[None, :]
+                mass += detJ[:, None, None] * (N[:, None] * N[None, :])[None]
+        return loadw, mass
     raise NotImplementedError(
-        f"surface integrals for {faces.shape[1]}-node faces (quads) are not "
-        "implemented; split hex boundaries into tris or use tet meshes"
+        f"surface integrals for {k}-node faces are not implemented"
     )
 
 
 def _faces_and_measures(mesh: MeshModel, sideset_id: int):
-    """Resolve a sideset once to [(faces, measures), ...] per face arity."""
+    """Resolve a sideset once to [(faces, loadw, mass), ...] per arity."""
     from ..io.sides import sideset_faces
 
     ss = _find_sideset(mesh, sideset_id)
     return [
-        (faces, _face_measures(mesh.coords, faces))
+        (faces,) + _surface_terms_of(mesh.coords, faces)
         for faces in sideset_faces(mesh, ss)
     ]
 
 
 def _load_from(fm, g: float, num_nodes: int) -> np.ndarray:
     load = np.zeros(num_nodes)
-    for faces, m in fm:
-        k = faces.shape[1]
-        np.add.at(load, faces.reshape(-1), np.repeat(g * m / k, k))
+    for faces, loadw, _mass in fm:
+        np.add.at(load, faces.reshape(-1), g * loadw.reshape(-1))
     return load
 
 
 def _mass_from(fm) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     rows, cols, vals = [], [], []
-    for faces, m in fm:
+    for faces, _loadw, mass in fm:
         k = faces.shape[1]
-        local = (np.ones((k, k)) + np.eye(k)) / (6.0 if k == 2 else 12.0)
         a, b = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
         rows.append(faces[:, a].reshape(-1))
         cols.append(faces[:, b].reshape(-1))
-        vals.append((m[:, None, None] * local[None]).reshape(-1))
+        vals.append(mass.reshape(-1))
     return (
         np.concatenate(rows),
         np.concatenate(cols),
@@ -129,6 +166,45 @@ def _tet_local_stiffness(coords: np.ndarray, conn: np.ndarray) -> np.ndarray:
     # Physical gradients: g_phys = gref @ Jinv  -> (ne, 4, 3)
     g = np.einsum("aj,nji->nai", gref, Jinv)
     K = np.einsum("nai,nbi,n->nab", g, g, vol)
+    return K
+
+
+_HEX_SIGNS = np.array(
+    [
+        [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+        [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+    ],
+    dtype=np.float64,
+)  # Exodus HEX8 node order: bottom quad CCW then top quad
+
+
+def _hex_local_stiffness(coords: np.ndarray, conn: np.ndarray) -> np.ndarray:
+    """(ne, 8, 8) local stiffness for HEX8 (trilinear), 2x2x2 Gauss.
+
+    Standard isoparametric form: at each Gauss point,
+    ``K += w |J| (dN J^-1)(dN J^-1)^T`` with
+    ``N_a = 1/8 (1 + xi xi_a)(1 + eta eta_a)(1 + zeta zeta_a)``.
+    Exact for parallelepiped elements; the standard full-integration rule
+    for general (non-affine) hexes."""
+    p = coords[conn]  # (ne, 8, 3)
+    K = np.zeros((conn.shape[0], 8, 8))
+    sg = _HEX_SIGNS
+    for gx in (-_G1, _G1):
+        for ge in (-_G1, _G1):
+            for gz in (-_G1, _G1):
+                fx = 1 + sg[:, 0] * gx
+                fe = 1 + sg[:, 1] * ge
+                fz = 1 + sg[:, 2] * gz
+                dN = 0.125 * np.stack(
+                    [sg[:, 0] * fe * fz, sg[:, 1] * fx * fz, sg[:, 2] * fx * fe],
+                    axis=1,
+                )  # (8, 3) reference gradients
+                # J[r, c] = dx_r/dxi_c (same convention as the tet path).
+                J = np.einsum("nar,ac->nrc", p, dN)  # (ne, 3, 3)
+                detJ = np.abs(np.linalg.det(J))
+                Jinv = np.linalg.inv(J)  # Jinv[c, r] = dxi_c/dx_r
+                g = np.einsum("ac,ncr->nar", dN, Jinv)  # (ne, 8, 3)
+                K += np.einsum("nai,nbi,n->nab", g, g, detJ)
     return K
 
 
@@ -194,6 +270,8 @@ def assemble_poisson_fem(
             K = _tet_local_stiffness(mesh.coords, conn)
         elif et.startswith("TRI") and conn.shape[1] == 3:
             K = _tri_local_stiffness(mesh.coords, conn)
+        elif et.startswith("HEX") and conn.shape[1] == 8:
+            K = _hex_local_stiffness(mesh.coords, conn)
         else:
             raise ValueError(f"P1 FEM assembly unsupported for {blk.elem_type}")
         npe = conn.shape[1]

@@ -167,3 +167,160 @@ def test_unknown_sideset_raises():
     mesh = _dirichlet_x0_mesh()
     with pytest.raises(ValueError, match="no sideset 999"):
         assemble_poisson_fem(mesh, neumann={999: 1.0})
+
+
+# ---------------------------------------------------------------------------
+# HEX8 (trilinear) volume elements + quad-face surface integrals
+# ---------------------------------------------------------------------------
+
+
+def _hex_plane_sideset(mesh, ss_id, xval):
+    """All HEX8 faces lying on the plane x == xval, as a SideSet."""
+    from domain_decomposed_pde_solver_tpu.io.mesh import SideSet
+    from domain_decomposed_pde_solver_tpu.io.sides import side_local_nodes
+
+    elems, sides = [], []
+    off = 0
+    for blk in mesh.blocks:
+        on = np.isclose(mesh.coords[:, 0], xval)
+        for s in range(1, 7):
+            idx = list(side_local_nodes("HEX8", s))
+            hit = on[blk.conn[:, idx]].all(axis=1)
+            e = np.nonzero(hit)[0]
+            elems.append(e + off)
+            sides.append(np.full(e.size, s))
+        off += blk.conn.shape[0]
+    return SideSet(
+        id=ss_id, elems=np.concatenate(elems), sides=np.concatenate(sides),
+        name="", dist_factors=None,
+    )
+
+
+def _hex_dirichlet_x0_mesh(n=(6, 5, 4)):
+    from domain_decomposed_pde_solver_tpu.io.mesh import NodeSet
+
+    mesh = box_mesh(*n, elem_type="HEX8")
+    x0 = np.nonzero(np.isclose(mesh.coords[:, 0], 0.0))[0]
+    mesh.node_sets = [
+        NodeSet(id=5, nodes=x0.astype(np.int64), name="", dist_factors=None)
+    ]
+    mesh.side_sets = [_hex_plane_sideset(mesh, 77, 1.0)]
+    return mesh
+
+
+def test_hex_stiffness_rows_sum_zero():
+    mesh = box_mesh(3, 3, 3, elem_type="HEX8")
+    from domain_decomposed_pde_solver_tpu.models.poisson_fem import (
+        _hex_local_stiffness,
+    )
+
+    K = _hex_local_stiffness(mesh.coords, mesh.blocks[0].conn.astype(np.int64))
+    np.testing.assert_allclose(K.sum(axis=2), 0.0, atol=1e-12)
+    np.testing.assert_allclose(K, np.swapaxes(K, 1, 2), atol=1e-12)
+
+
+def test_hex_patch_test_linear_exact():
+    """Trilinear hexes reproduce u = a + bx + cy + dz exactly (patch test)."""
+    from domain_decomposed_pde_solver_tpu.io.mesh import NodeSet
+
+    mesh = box_mesh(4, 3, 3, elem_type="HEX8")
+    # Dirichlet everywhere on the boundary, value from the linear field.
+    c = mesh.coords
+    u_exact = 2.0 + 3.0 * c[:, 0] - 1.5 * c[:, 1] + 0.5 * c[:, 2]
+    bdry = np.nonzero(
+        np.isclose(c[:, 0], 0) | np.isclose(c[:, 0], 1)
+        | np.isclose(c[:, 1], 0) | np.isclose(c[:, 1], 1)
+        | np.isclose(c[:, 2], 0) | np.isclose(c[:, 2], 1)
+    )[0]
+    mesh.node_sets = [
+        NodeSet(id=1, nodes=bdry.astype(np.int64), name="", dist_factors=None)
+    ]
+    mesh.side_sets = []
+    sys_ = assemble_poisson_fem(mesh)
+    # Override the id-as-value convention: lift with the exact boundary data.
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix(
+        (sys_.A.data, sys_.A.indices, sys_.A.indptr), shape=sys_.A.shape
+    )
+    x = sp.linalg.spsolve(S.tocsc(), _lift_rhs(mesh, sys_, u_exact))
+    np.testing.assert_allclose(x, u_exact[sys_.free_to_node], atol=1e-9)
+
+
+def _lift_rhs(mesh, sys_, u_bdry):
+    """RHS for K_ff x = -K_fb g with arbitrary boundary data g."""
+    from domain_decomposed_pde_solver_tpu.models.poisson_fem import (
+        _hex_local_stiffness,
+    )
+
+    n = mesh.num_nodes
+    conn = mesh.blocks[0].conn.astype(np.int64)
+    K = _hex_local_stiffness(mesh.coords, conn)
+    a, b = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    rows = conn[:, a].reshape(-1)
+    cols = conn[:, b].reshape(-1)
+    vals = K.reshape(-1)
+    free = sys_.node_to_free
+    is_free = free >= 0
+    fb = is_free[rows] & ~is_free[cols]
+    out = np.zeros(sys_.n_free)
+    np.add.at(out, free[rows[fb]], -vals[fb] * u_bdry[cols[fb]])
+    return out
+
+
+def test_hex_neumann_flux_exact_for_linear_solution():
+    """u=5 at x=0 (Dirichlet), du/dn=g on the x=1 quad faces (Neumann):
+    exact solution u = 5 + g x; trilinear hexes + 2x2 Gauss quad faces
+    must reproduce it to solver precision."""
+    mesh = _hex_dirichlet_x0_mesh()
+    g = 3.0
+    sys_ = assemble_poisson_fem(mesh, neumann={77: g})
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix(
+        (sys_.A.data, sys_.A.indices, sys_.A.indptr), shape=sys_.A.shape
+    )
+    x = sp.linalg.spsolve(S.tocsc(), sys_.b)
+    want = 5.0 + g * mesh.coords[sys_.free_to_node, 0]
+    np.testing.assert_allclose(x, want, atol=1e-9)
+
+
+def test_hex_robin_impedance_exact_for_linear_solution():
+    """Robin du/dn = -alpha (u - u_env) at x=1 on quad faces: exact linear
+    solution u = 5 + s x with s = alpha (u_env - 5) / (1 + alpha)."""
+    mesh = _hex_dirichlet_x0_mesh()
+    alpha, u_env = 2.0, 11.0
+    sys_ = assemble_poisson_fem(mesh, robin={77: (alpha, u_env)})
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix(
+        (sys_.A.data, sys_.A.indices, sys_.A.indptr), shape=sys_.A.shape
+    )
+    x = sp.linalg.spsolve(S.tocsc(), sys_.b)
+    s = alpha * (u_env - 5.0) / (1.0 + alpha)
+    want = 5.0 + s * mesh.coords[sys_.free_to_node, 0]
+    np.testing.assert_allclose(x, want, atol=1e-9)
+
+
+def test_quad_surface_load_total_equals_flux_times_area():
+    mesh = _hex_dirichlet_x0_mesh()
+    from domain_decomposed_pde_solver_tpu.models.poisson_fem import surface_load
+
+    load = surface_load(mesh, 77, 4.0)
+    np.testing.assert_allclose(load.sum(), 4.0 * 1.0, rtol=1e-12)
+
+
+def test_quad_surface_mass_row_sums():
+    """Row sums of the quad surface mass equal the load weights
+    (partition of unity on the face)."""
+    mesh = _hex_dirichlet_x0_mesh()
+    from domain_decomposed_pde_solver_tpu.models.poisson_fem import (
+        surface_load,
+        surface_mass_coo,
+    )
+
+    rows, cols, vals = surface_mass_coo(mesh, 77)
+    n = mesh.num_nodes
+    rowsum = np.zeros(n)
+    np.add.at(rowsum, rows, vals)
+    np.testing.assert_allclose(rowsum, surface_load(mesh, 77, 1.0), atol=1e-12)
