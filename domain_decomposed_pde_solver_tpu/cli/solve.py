@@ -134,7 +134,16 @@ def main(argv=None) -> int:
             bsg_mode = (
                 "auto" if cfg.precond in ("none", "jacobi", "chebyshev") else "never"
             )
-            A = choose_operator(system.A, dtype=dtype, bsg=bsg_mode)
+            from ..solvers.precond.amg import infer_free_grid
+
+            op_dims = (
+                infer_free_grid(system.mesh, system.free_to_node)
+                if system.mesh is not None
+                else None
+            )
+            A = choose_operator(
+                system.A, dtype=dtype, bsg=bsg_mode, grid_dims=op_dims
+            )
             if cfg.verbose:
                 print(f"operator format: {type(A).__name__}")
             b = A.put_vector(system.b.astype(np.dtype(dtype)))

@@ -7,6 +7,7 @@ from .dia import DIAMatrix, choose_operator, dia_from_csr, operator_bytes
 from .hyb import HYBMatrix, hyb_from_csr, rcm_permute
 from .splitell import SplitELLMatrix, splitell_from_csr
 from .bsg import BSGMatrix, bsg_from_csr, bsg_spmv
+from .stencil import StencilOperator, stencil_from_csr, stencil_from_dia
 
 __all__ = [
     "CSRMatrix",
@@ -30,4 +31,7 @@ __all__ = [
     "BSGMatrix",
     "bsg_from_csr",
     "bsg_spmv",
+    "StencilOperator",
+    "stencil_from_csr",
+    "stencil_from_dia",
 ]

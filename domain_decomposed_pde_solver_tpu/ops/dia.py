@@ -216,10 +216,17 @@ def dia_from_csr(
 
 
 def choose_operator(
-    csr: CSRMatrix, dtype=jnp.float32, max_diags: int = 64, bsg: str = "never"
+    csr: CSRMatrix,
+    dtype=jnp.float32,
+    max_diags: int = 64,
+    bsg: str = "never",
+    grid_dims=None,
 ):
     """Pick the fastest device format for this matrix.
 
+    - with ``grid_dims`` (a lexicographic (mx, my, mz) free-node grid),
+      the pattern-broadcast lattice-stencil form when the matrix
+      decomposes exactly (:mod:`.stencil` — 3x over DIA, f32 only);
     - DIA when the diagonal count is small (stencil/structured meshes):
       traffic is ``ndiags * n`` values but zero gathers;
     - for unstructured matrices, BSG (shuffle-gather Pallas kernel, 17x
@@ -235,6 +242,12 @@ def choose_operator(
     """
     dia = dia_from_csr(csr, dtype=dtype, max_diags=max_diags)
     if dia is not None:
+        if grid_dims is not None and jnp.dtype(dtype) == jnp.float32:
+            from .stencil import stencil_from_dia
+
+            st = stencil_from_dia(dia, grid_dims, dtype=dtype)
+            if st is not None:
+                return st
         return dia
     if bsg == "always" or (
         bsg == "auto"
@@ -276,6 +289,12 @@ def operator_bytes(A) -> int:
 
     if isinstance(A, HYBMatrix):
         return operator_bytes(A.dia) + operator_bytes(A.ell)
+    from .stencil import StencilOperator
+
+    if isinstance(A, StencilOperator):
+        # x + y + corr — the patterns broadcast from registers.
+        vb = A.dtype.itemsize
+        return 3 * A.n_pad * vb
     from .bsg import BSGMatrix
 
     if isinstance(A, BSGMatrix):

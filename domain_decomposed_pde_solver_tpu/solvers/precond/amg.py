@@ -581,12 +581,17 @@ def smoothed_aggregation_setup(
         else:
             from ...ops.dia import choose_operator
 
-            lvl_A = choose_operator(csr_k, dtype=dtype)
+            lvl_A = choose_operator(
+                csr_k,
+                dtype=dtype,
+                grid_dims=grid_dims if len(levels) == 0 else None,
+            )
         if isinstance(lvl_A, ELLMatrix):
             lvl_A = _repad(lvl_A, n_pad_f)
         from ...ops.dia import DIAMatrix
+        from ...ops.stencil import StencilOperator
 
-        if isinstance(lvl_A, DIAMatrix) and factored_transfers:
+        if isinstance(lvl_A, (DIAMatrix, StencilOperator)) and factored_transfers:
             # Factored transfers: P = (I - w D^-1 A) T applied as one
             # selection gather + a gather-free DIA matvec — ~9x fewer
             # serialized memory ops than the explicit ELL P/R.
