@@ -58,8 +58,8 @@ def _kernel(offsets, span_neg, chunk, x2_ref, data_ref, y_ref):
             # Static lane rotation by r, built from in-kernel iotas (Pallas
             # kernels may not capture host constants).
             idx = jax.lax.broadcasted_iota(jnp.int32, (crows, LANES), 1)
-            lane2 = jax.lax.rem(idx + r, LANES)
-            use_next = idx + r >= LANES
+            lane2 = jax.lax.rem(idx + jnp.int32(r), jnp.int32(LANES))
+            use_next = idx + jnp.int32(r) >= jnp.int32(LANES)
             g_top = jnp.take_along_axis(W[:-1, :], lane2, axis=1)
             g_bot = jnp.take_along_axis(W[1:, :], lane2, axis=1)
             shifted = jnp.where(use_next, g_bot, g_top)

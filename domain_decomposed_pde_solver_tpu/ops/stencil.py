@@ -49,8 +49,10 @@ __all__ = ["StencilOperator", "stencil_from_dia", "stencil_from_csr"]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["pats", "corr"],
-    meta_fields=["taps", "dims", "period", "n_rows", "n_pad"],
+    data_fields=["pats", "const_vals", "corr"],
+    meta_fields=[
+        "taps", "groups", "group_const", "dims", "period", "n_rows", "n_pad",
+    ],
 )
 @dataclasses.dataclass
 class StencilOperator(PaddedLayout):
@@ -60,11 +62,21 @@ class StencilOperator(PaddedLayout):
     ``[iz%p, iy%p, ix%p]``).  ``taps``: static ((dx, dy, dz), ...) per
     diagonal.  ``corr``: (n_pad,) diagonal correction (0 on interior rows
     and padding).  ``dims`` = (mx, my, mz), node id ``ix + mx*(iy+my*iz)``.
+
+    ``groups``/``group_const``/``const_vals``: taps grouped by *identical*
+    coefficient pattern (host-detected at build).  Shifted windows of one
+    group are summed BEFORE the coefficient multiply, and groups whose
+    pattern is a constant multiply by a scalar — on the heat Laplacian this
+    collapses 19 coefficient multiplies to 2-3 (e.g. 12 taps share one
+    {0,-1} checker, 6 are constant -1, 1 is the diagonal).
     """
 
     pats: jax.Array
+    const_vals: jax.Array  # (n_groups,) scalar per group (0 if non-const)
     corr: jax.Array
     taps: Tuple[Tuple[int, int, int], ...]
+    groups: Tuple[Tuple[int, ...], ...]  # tap indices per group
+    group_const: Tuple[bool, ...]
     dims: Tuple[int, int, int]
     period: int
     n_rows: int
@@ -78,32 +90,55 @@ class StencilOperator(PaddedLayout):
     def dtype(self):
         return self.corr.dtype
 
-    def _coeff(self, d: int, dtype):
-        """(mz, my, mx) coefficient field of diagonal d — a broadcast of
-        the (p, p, p) pattern; XLA fuses it into the consumer multiply, so
-        nothing of size n is materialized in HBM."""
-        mx, my, mz = self.dims
-        p = self.period
-        pat = self.pats[d].astype(dtype)
-        c = pat[jnp.arange(mz) % p]
-        c = c[:, jnp.arange(my) % p]
-        return c[:, :, jnp.arange(mx) % p]
-
     def matvec(self, x_padded: jax.Array) -> jax.Array:
         mx, my, mz = self.dims
+        p = self.period
+        # Even-padded grid extents so the period-block view below is a pure
+        # reshape; boundary padding multiplies zero x (and pattern values
+        # beyond the grid are never read back — the output is sliced).
+        ex, ey, ez = (-mx) % p, (-my) % p, (-mz) % p
+        Mx, My, Mz = mx + ex, my + ey, mz + ez
         x3 = x_padded[: self.n_rows].reshape(mz, my, mx)
-        xe = jnp.pad(x3, 1)
+        xe = jnp.pad(x3, ((1, 1 + ez), (1, 1 + ey), (1, 1 + ex)))
+        # Block view (Mz/p, p, My/p, p, Mx): the z/y parity axes are
+        # explicit, while the fastest axis stays whole (TPU layouts want a
+        # wide trailing dimension — a trailing p=2 axis measured 100x
+        # slower).  The x-axis periodicity folds into a tiny tiled
+        # (p, p, Mx) coefficient strip that broadcasts over the two large
+        # axes, so no coefficient field of size n is ever materialized.
+        shp5 = (Mz // p, p, My // p, p, Mx)
         terms = []
-        for d, (dx, dy, dz) in enumerate(self.taps):
-            w = jax.lax.dynamic_slice(xe, (1 + dz, 1 + dy, 1 + dx), (mz, my, mx))
-            terms.append(self._coeff(d, x_padded.dtype) * w)
-        # Pairwise-tree accumulation (shorter dependency chains, like DIA).
+        for g, tap_idx in enumerate(self.groups):
+            ws = []
+            for d in tap_idx:
+                dx, dy, dz = self.taps[d]
+                ws.append(
+                    jax.lax.dynamic_slice(
+                        xe, (1 + dz, 1 + dy, 1 + dx), (Mz, My, Mx)
+                    )
+                )
+            while len(ws) > 1:  # sum the group's windows BEFORE multiplying
+                nx = [a + b for a, b in zip(ws[::2], ws[1::2])]
+                if len(ws) % 2:
+                    nx.append(ws[-1])
+                ws = nx
+            W = ws[0]
+            if self.group_const[g]:
+                terms.append(self.const_vals[g].astype(x_padded.dtype) * W)
+            else:
+                pat = self.pats[tap_idx[0]].astype(x_padded.dtype)  # (p,p,p)
+                strip = jnp.tile(pat, (1, 1, Mx // p))  # (p, p, Mx)
+                terms.append(
+                    (W.reshape(shp5) * strip[None, :, None, :, :]).reshape(
+                        Mz, My, Mx
+                    )
+                )
         while len(terms) > 1:
             nxt = [a + b for a, b in zip(terms[::2], terms[1::2])]
             if len(terms) % 2:
                 nxt.append(terms[-1])
             terms = nxt
-        y = terms[0].reshape(-1)
+        y = terms[0][:mz, :my, :mx].reshape(-1)
         y = jnp.pad(y, (0, self.n_pad - self.n_rows))
         return y + self.corr.astype(x_padded.dtype) * x_padded
 
@@ -115,8 +150,12 @@ class StencilOperator(PaddedLayout):
         d = self.corr
         if didx is not None:
             mx, my, mz = self.dims
-            base = self._coeff(didx, self.corr.dtype).reshape(-1)
-            base = jnp.pad(base, (0, self.n_pad - self.n_rows))
+            p = self.period
+            pat = self.pats[didx].astype(self.corr.dtype)
+            c = pat[jnp.arange(mz) % p]
+            c = c[:, jnp.arange(my) % p]
+            c = c[:, :, jnp.arange(mx) % p]
+            base = jnp.pad(c.reshape(-1), (0, self.n_pad - self.n_rows))
             d = d + base
         pad_mask = jnp.arange(self.n_pad) >= self.n_rows
         d = jnp.where(d == 0, jnp.asarray(fill, d.dtype), d)
@@ -201,10 +240,28 @@ def stencil_from_dia(
         n_pad = pad_to(max(n, 1))
         corr_pad = np.zeros(n_pad, dtype=np.float32)
         corr_pad[:n] = corr
+        # Group taps by identical pattern; record constant-pattern scalars.
+        by_pat = {}
+        for d in range(len(taps)):
+            by_pat.setdefault(pats[d].tobytes(), []).append(d)
+        groups = tuple(tuple(v) for v in by_pat.values())
+        group_const = tuple(
+            bool(np.all(pats[g[0]] == pats[g[0]].ravel()[0])) for g in groups
+        )
+        const_vals = np.array(
+            [
+                pats[g[0]].ravel()[0] if c else 0.0
+                for g, c in zip(groups, group_const)
+            ],
+            dtype=np.float32,
+        )
         return StencilOperator(
             pats=jnp.asarray(pats, jnp.dtype(dtype)),
+            const_vals=jnp.asarray(const_vals, jnp.dtype(dtype)),
             corr=jnp.asarray(corr_pad, jnp.dtype(dtype)),
             taps=tuple(taps),
+            groups=groups,
+            group_const=group_const,
             dims=(mx, my, mz),
             period=p,
             n_rows=n,
