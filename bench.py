@@ -292,6 +292,33 @@ def main():
     if t_full > t_half > 0 and frac > 0:
         extra["cg_jacobi_ms_tet_cube_device_est"] = (t_full - t_half) / frac * 1e3
 
+    # --- CG+AMG on tet-cube (unstructured greedy hierarchy) --------------
+    from domain_decomposed_pde_solver_tpu.solvers import (
+        smoothed_aggregation_setup as _sa_setup,
+    )
+
+    t0 = time.perf_counter()
+    # Fine level in the BSG operator's space: smoothing rides the
+    # shuffle-gather kernel instead of SplitELL.
+    Atet = A
+    Mtet = _sa_setup(
+        system.A, dtype=jnp.float32,
+        fine_operator=A if type(A).__name__ == "BSGMatrix" else None,
+    )
+    extra["amg_setup_s_tet_cube"] = time.perf_counter() - t0
+    bt = Atet.put_vector(system.b.astype(np.float32))
+    bts = bt / float(np.abs(system.b).max())
+    tet_amg = lambda: cg_solve(
+        Atet, bts, jnp.zeros_like(bts), precond=Mtet, tol=1e-6, maxiter=300
+    )
+    rt = tet_amg()
+    _sync(rt.x)
+    t0 = time.perf_counter()
+    rt = tet_amg()
+    _sync(rt.x)
+    extra["cg_amg_ms_tet_cube"] = (time.perf_counter() - t0) * 1e3
+    extra["cg_amg_iters_tet_cube"] = int(rt.iterations)
+
     # --- CG+AMG solve time on the 1M-DOF box (the BASELINE metric) -------
     from domain_decomposed_pde_solver_tpu.solvers import smoothed_aggregation_setup
     from domain_decomposed_pde_solver_tpu.solvers.precond.amg import infer_free_grid

@@ -132,7 +132,9 @@ def main(argv=None) -> int:
             # AMG works on original-order vectors, so keep identity-layout
             # formats there.
             bsg_mode = (
-                "auto" if cfg.precond in ("none", "jacobi", "chebyshev") else "never"
+                "auto"
+                if cfg.precond in ("none", "jacobi", "chebyshev", "amg")
+                else "never"
             )
             from ..solvers.precond.amg import infer_free_grid
 
@@ -280,6 +282,7 @@ def _make_precond(cfg, A, system):
 
         return ilu0_preconditioner(system.A, n_pad=A.n_pad, dtype=A.dtype)
     if cfg.precond == "amg":
+        from ..ops.bsg import BSGMatrix
         from ..solvers.precond.amg import infer_free_grid
 
         # Structured meshes get gather-free brick transfers (see
@@ -290,7 +293,13 @@ def _make_precond(cfg, A, system):
             else None
         )
         return smoothed_aggregation_setup(
-            system.A, dtype=A.dtype, grid_dims=dims
+            system.A,
+            dtype=A.dtype,
+            grid_dims=dims,
+            # Unstructured on TPU: the outer operator is BSG; build the
+            # fine level in its (permuted) space so smoothing rides the
+            # shuffle-gather kernel (100x+ over SplitELL matvecs).
+            fine_operator=A if isinstance(A, BSGMatrix) else None,
         )
     raise ValueError(cfg.precond)
 

@@ -415,6 +415,7 @@ def smoothed_aggregation_setup(
     aggressive_levels: Union[int, str] = "auto",
     grid_dims: Optional[Tuple[int, int, int]] = None,
     brick: int = 6,
+    fine_operator=None,
 ) -> AMGPreconditioner:
     """Build the SA-AMG hierarchy from the host CSR operator.
 
@@ -449,7 +450,21 @@ def smoothed_aggregation_setup(
 
     levels: List[AMGLevel] = []
     A_k = _to_scipy(A)
-    n_pads = [pad_to(max(A.n_rows, 1))]
+    from ...ops.bsg import BSGMatrix
+
+    # ``fine_operator``: a prebuilt level-0 operator (notably a permuted
+    # BSG unstructured operator, 100x+ faster smoothing matvecs than
+    # SplitELL on TPU).  The whole V-cycle's fine level then lives in the
+    # operator's internal (permuted, padded) vector space: the factored
+    # transfer arrays are permuted at build so restriction lands in the
+    # identity-layout coarse space and prolongation back — zero extra
+    # gathers at apply time.  The caller's CG must use the SAME operator.
+    use_fine_op = fine_operator is not None and isinstance(
+        fine_operator, BSGMatrix
+    )
+    n_pads = [
+        fine_operator.n_pad if use_fine_op else pad_to(max(A.n_rows, 1))
+    ]
 
     if aggressive_levels == "auto":
         if operator_format != "ell" and A.n_rows > 200_000:
@@ -574,7 +589,10 @@ def smoothed_aggregation_setup(
         n_pad_c = pad_to(max(n_c, 1))
         # Level operator: DIA when the level has stencil structure (the fine
         # level of generated/structured meshes) — gather-free smoothing.
-        if operator_format == "ell":
+        fine_bsg = use_fine_op and len(levels) == 0
+        if fine_bsg:
+            lvl_A = fine_operator
+        elif operator_format == "ell":
             # Plain ELL only (the block-Schwarz stacker needs uniform
             # ELL structure across parts).
             lvl_A = ell_from_csr(csr_k, dtype=dtype)
@@ -590,6 +608,49 @@ def smoothed_aggregation_setup(
             lvl_A = _repad(lvl_A, n_pad_f)
         from ...ops.dia import DIAMatrix
         from ...ops.stencil import StencilOperator
+
+        if fine_bsg and factored_transfers and not use_brick:
+            # Permutation-composed factored transfers for the BSG level:
+            # scatter the per-fine-row arrays into the operator's internal
+            # row order (padding rows keep tval = 0, so they contribute
+            # nothing through the segment_sum restriction and read
+            # don't-care values harmlessly through the gather).
+            n_f = A_k.shape[0]
+            perm = (
+                np.asarray(fine_operator.perm)
+                if fine_operator.perm is not None
+                else np.arange(n_f)
+            )
+            tval_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
+            tval_pad[perm] = 1.0 / np.sqrt(counts[agg])
+            scale_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
+            scale_pad[perm] = (omega / lmax) / d
+            agg_pad = np.zeros(n_pad_f, dtype=np.int32)
+            agg_pad[perm] = agg
+            P_fact = FactoredProlongator(
+                agg=jnp.asarray(agg_pad),
+                tval=jnp.asarray(tval_pad),
+                scale=jnp.asarray(scale_pad),
+                A=lvl_A,
+                n_pad_c=n_pad_c,
+            )
+            P_op = P_fact
+            R_op = FactoredRestriction(P=P_fact)
+            inv_d_host = np.ones(n_pad_f, dtype=np.dtype(dtype))
+            dd = np.where(d != 0, d, 1.0)
+            inv_d_host[perm] = (1.0 / dd).astype(np.dtype(dtype))
+            lvl = AMGLevel(
+                A=lvl_A,
+                P=P_op,
+                R=R_op,
+                inv_diag=jnp.asarray(inv_d_host),
+                lmax=jnp.asarray(lmax, dtype),
+                n_rows=A_k.shape[0],
+            )
+            levels.append(lvl)
+            A_k = A_c
+            n_pads.append(n_pad_c)
+            continue
 
         if isinstance(lvl_A, (DIAMatrix, StencilOperator)) and factored_transfers:
             # Factored transfers: P = (I - w D^-1 A) T applied as one

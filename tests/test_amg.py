@@ -204,3 +204,44 @@ def test_infer_free_grid_rejects_unstructured(data_dir):
     mesh = read_exodus(str(data_dir / "tet-cube-heat.exo"))
     sys_ = assemble_heat_system(mesh)
     assert infer_free_grid(mesh, sys_.free_to_node) is None
+
+
+def test_amg_bsg_fine_level_matches_identity_layout():
+    """smoothed_aggregation_setup(fine_operator=BSG) builds the V-cycle in
+    the BSG operator's permuted space; iteration counts must match the
+    identity-layout hierarchy (same algebra, different layout)."""
+    import jax.numpy as jnp
+    from domain_decomposed_pde_solver_tpu.io import read_exodus
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+    from domain_decomposed_pde_solver_tpu.ops import choose_operator
+    from domain_decomposed_pde_solver_tpu.ops.bsg import bsg_from_csr
+    from domain_decomposed_pde_solver_tpu.solvers import cg_solve
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import (
+        smoothed_aggregation_setup,
+    )
+
+    mesh = read_exodus("/root/reference/data/brick.exo")
+    sy = assemble_heat_system(mesh)
+    bb = (sy.b / np.abs(sy.b).max()).astype(np.float32)
+
+    A_id = choose_operator(sy.A, dtype=jnp.float32)
+    M_id = smoothed_aggregation_setup(sy.A, dtype=jnp.float32)
+    b_id = A_id.put_vector(bb)
+    r_id = cg_solve(A_id, b_id, jnp.zeros_like(b_id), precond=M_id,
+                    tol=1e-6, maxiter=100)
+
+    B = bsg_from_csr(sy.A)
+    M_b = smoothed_aggregation_setup(sy.A, dtype=jnp.float32, fine_operator=B)
+    from domain_decomposed_pde_solver_tpu.ops.bsg import BSGMatrix
+
+    assert isinstance(M_b.levels[0].A, BSGMatrix)
+    b_b = B.put_vector(bb)
+    r_b = cg_solve(B, b_b, jnp.zeros_like(b_b), precond=M_b,
+                   tol=1e-6, maxiter=100)
+    assert bool(r_b.converged)
+    assert abs(int(r_b.iterations) - int(r_id.iterations)) <= 1
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((sy.A.data, sy.A.indices, sy.A.indptr), shape=sy.A.shape)
+    x = B.get_vector(r_b.x).astype(np.float64)
+    assert np.linalg.norm(S @ x - bb) / np.linalg.norm(bb) < 1e-5
