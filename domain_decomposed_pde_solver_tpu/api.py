@@ -43,7 +43,18 @@ class SteadyHeatSolver:
         self.mesh = mesh
         self.dtype = dtype if dtype is not None else jnp.float64
         self.system: HeatSystem = assemble_heat_system(mesh)
-        self.operator = choose_operator(self.system.A, dtype=self.dtype)
+        from .solvers.precond.amg import infer_free_grid
+
+        # Fastest format for the mesh class: pattern-broadcast stencil on
+        # lexicographic grids, BSG shuffle-gather for unstructured f32 on
+        # TPU (AMG-compatible via fine_operator), DIA/Split-ELL otherwise.
+        self._grid_dims = infer_free_grid(mesh, self.system.free_to_node)
+        self.operator = choose_operator(
+            self.system.A,
+            dtype=self.dtype,
+            grid_dims=self._grid_dims,
+            bsg="auto" if precond in ("jacobi", "amg", "none") else "never",
+        )
         self._precond_kind = precond
         self._precond = self._build_precond(precond)
         self._last_x: Optional[np.ndarray] = None
@@ -69,10 +80,17 @@ class SteadyHeatSolver:
                 smoothed_aggregation_setup,
             )
 
+            from .ops.bsg import BSGMatrix
+
             return smoothed_aggregation_setup(
                 self.system.A,
                 dtype=self.dtype,
-                grid_dims=infer_free_grid(self.mesh, self.system.free_to_node),
+                grid_dims=self._grid_dims,
+                fine_operator=(
+                    self.operator
+                    if isinstance(self.operator, BSGMatrix)
+                    else None
+                ),
             )
         if kind == "none":
             return None
@@ -131,14 +149,13 @@ class SteadyHeatSolver:
         (u_free, CGResult)."""
         import jax.numpy as jnp
 
-        from .ops.ell import pad_vector, unpad_vector
         from .solvers.cg import cg_solve
 
         b_host = self.rhs_for(bc)
-        b = pad_vector(b_host.astype(np.dtype(self.dtype)), self.operator.n_pad)
+        b = self.operator.put_vector(b_host.astype(np.dtype(self.dtype)))
         if warm_start and self._last_x is not None:
-            x0 = pad_vector(
-                self._last_x.astype(np.dtype(self.dtype)), self.operator.n_pad
+            x0 = self.operator.put_vector(
+                self._last_x.astype(np.dtype(self.dtype))
             )
         else:
             x0 = jnp.zeros_like(b)
@@ -146,7 +163,7 @@ class SteadyHeatSolver:
             self.operator, b, x0, precond=self._precond, tol=tol,
             maxiter=maxiter,
         )
-        u = unpad_vector(res.x, self.system.n_free)
+        u = self.operator.get_vector(res.x)
         self._last_x = np.array(u)
         return u, res
 
