@@ -446,6 +446,7 @@ int64_t rap_galerkin(const int64_t* Ap, const int64_t* Ai, const double* Ax,
   std::vector<int64_t> touched;
   int64_t nnz = 0;
   Cp[0] = 0;
+  const bool numeric = Ci != nullptr;
   for (int64_t c = 0; c < n_c; ++c) {
     touched.clear();
     for (int64_t rp = Rp[c]; rp < Rp[c + 1]; ++rp) {
@@ -460,23 +461,22 @@ int64_t rap_galerkin(const int64_t* Ap, const int64_t* Ai, const double* Ax,
             mark[cc] = 1;
             touched.push_back(cc);
           }
-          acc[cc] += av * Px[pp];
+          if (numeric) acc[cc] += av * Px[pp];
         }
       }
     }
-    std::sort(touched.begin(), touched.end());
-    if (Ci) {
+    if (numeric) {
+      std::sort(touched.begin(), touched.end());
       for (int64_t cc : touched) {
         Ci[nnz] = cc;
         Cx[nnz] = acc[cc];
         ++nnz;
+        mark[cc] = 0;
+        acc[cc] = 0.0;
       }
-    } else {
+    } else {  // symbolic count pass: skip the accumulate and the sort
       nnz += static_cast<int64_t>(touched.size());
-    }
-    for (int64_t cc : touched) {
-      mark[cc] = 0;
-      acc[cc] = 0.0;
+      for (int64_t cc : touched) mark[cc] = 0;
     }
     Cp[c + 1] = nnz;
   }
