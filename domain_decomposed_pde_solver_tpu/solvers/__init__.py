@@ -8,6 +8,7 @@ from .cg import (
     cg_solve_snapshots,
     cg_solve_with_state,
 )
+from .fused_cg import fused_cg_solve
 from .gmres import GMRESResult, gmres_solve
 from .lanczos import LanczosResult, lanczos_extremes
 from .mixed import MixedSolveResult, iterative_refinement_solve
@@ -30,6 +31,7 @@ __all__ = [
     "cg_solve_snapshots",
     "cg_solve_resumable",
     "cg_solve_with_state",
+    "fused_cg_solve",
     "GMRESResult",
     "LanczosResult",
     "lanczos_extremes",
