@@ -216,41 +216,51 @@ def bsg_from_csr(
     # Micro-op assignment = bipartite edge coloring per (tile, window bin):
     # within one micro-op each output slot (a, l) and each source pair
     # (a, r) may appear at most once (so the two-level shuffle is exact).
-    # Greedy iterative matching: every round picks, per (t, b), at most one
-    # remaining entry per row and per (a, r) — round count approaches the
-    # max multiplicity (Konig: optimal = max degree for bipartite graphs).
-    nb = nx2 // SUBL + 1
-    tb = t * nb + b
-    rkey = tb * np.int64(n_pad) + rows  # one entry per row per round
-    skey = tb * np.int64(SUBL * LANES) + a * LANES + r  # one per source pair
-    rounds = np.full(rows.size, -1, dtype=np.int64)
-    rem = np.arange(rows.size)
-    it = 0
-    while rem.size:
-        # First remaining entry per row-group...
-        _, fi = np.unique(rkey[rem], return_index=True)
-        cand = rem[np.sort(fi)]
-        # ...thinned to one per source-pair group.
-        _, fj = np.unique(skey[cand], return_index=True)
-        pick = cand[np.sort(fj)]
-        rounds[pick] = it
-        it += 1
-        keep = np.ones(rem.size, dtype=bool)
-        keep[np.searchsorted(rem, pick)] = False
-        rem = rem[keep]
+    # Native first-fit greedy (ddps_native.cpp::bsg_assign; ~20x the NumPy
+    # matching below at multi-M nnz), NumPy iterative matching fallback.
+    from ..utils.native import bsg_assign_native
 
-    # Dense micro-op id per tile from the (b, round) key.
-    mo_key = b * np.int64(it) + rounds
-    max_mo = 0
-    mo_index = np.zeros(rows.size, dtype=np.int64)
-    for ti in range(n_tiles):
-        sel = t == ti
-        if not sel.any():
-            continue
-        uk, inv = np.unique(mo_key[sel], return_inverse=True)
-        mo_index[sel] = inv
-        max_mo = max(max_mo, uk.size)
-    max_mo = max(1, max_mo)
+    assigned = bsg_assign_native(rows, cols, TILE, SUBL, LANES)
+    if assigned is not None:
+        mo_index, max_mo = assigned
+        max_mo = max(1, max_mo)
+    else:
+        # Greedy iterative matching: every round picks, per (t, b), at most
+        # one remaining entry per row and per (a, r) — round count
+        # approaches the max multiplicity (Konig: optimal = max degree for
+        # bipartite graphs).
+        nb = nx2 // SUBL + 1
+        tb = t * nb + b
+        rkey = tb * np.int64(n_pad) + rows  # one entry per row per round
+        skey = tb * np.int64(SUBL * LANES) + a * LANES + r  # per source pair
+        rounds = np.full(rows.size, -1, dtype=np.int64)
+        rem = np.arange(rows.size)
+        it = 0
+        while rem.size:
+            # First remaining entry per row-group...
+            _, fi = np.unique(rkey[rem], return_index=True)
+            cand = rem[np.sort(fi)]
+            # ...thinned to one per source-pair group.
+            _, fj = np.unique(skey[cand], return_index=True)
+            pick = cand[np.sort(fj)]
+            rounds[pick] = it
+            it += 1
+            keep = np.ones(rem.size, dtype=bool)
+            keep[np.searchsorted(rem, pick)] = False
+            rem = rem[keep]
+
+        # Dense micro-op id per tile from the (b, round) key.
+        mo_key = b * np.int64(it) + rounds
+        max_mo = 0
+        mo_index = np.zeros(rows.size, dtype=np.int64)
+        for ti in range(n_tiles):
+            sel = t == ti
+            if not sel.any():
+                continue
+            uk, inv = np.unique(mo_key[sel], return_inverse=True)
+            mo_index[sel] = inv
+            max_mo = max(max_mo, uk.size)
+        max_mo = max(1, max_mo)
 
     w0 = np.zeros((n_tiles, max_mo), dtype=np.int32)
     qq = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.int8)
@@ -268,11 +278,14 @@ def bsg_from_csr(
     diag[rows[dmask]] = data[dmask].astype(np.float32)
 
     if storage == "auto":
-        exact = np.array_equal(
-            vals.astype(np.dtype(jnp.bfloat16)).astype(np.float32), vals
-        )
-        storage = "bfloat16" if exact else "float32"
-    vals_j = jnp.asarray(vals.astype(np.dtype(jnp.bfloat16)) if storage == "bfloat16" else vals)
+        # Bit-level exactness check on the CSR values (native one-pass; the
+        # ml_dtypes host cast of the dense slot array cost ~7 s at 6M nnz).
+        from .dia import _bf16_exact
+
+        storage = "bfloat16" if _bf16_exact(np.asarray(csr.data)) else "float32"
+    vals_j = jnp.asarray(vals)
+    if storage == "bfloat16":
+        vals_j = vals_j.astype(jnp.bfloat16)  # cast on device (XLA), not host
 
     return BSGMatrix(
         w0=jnp.asarray(w0),

@@ -101,6 +101,8 @@ def load_native() -> Optional[ctypes.CDLL]:
         ]
         lib.bf16_exact.restype = _i64
         lib.bf16_exact.argtypes = [_f64p, _i64]
+        lib.bsg_assign.restype = _i64
+        lib.bsg_assign.argtypes = [_i64p, _i64p, _i64, _i64, _i64, _i64, _i64p]
         _lib = lib
         return _lib
 
@@ -258,6 +260,21 @@ def bf16_exact_native(data):
         return None
     data = np.ascontiguousarray(data, np.float64)
     return bool(lib.bf16_exact(data, data.size))
+
+
+def bsg_assign_native(rows, cols, tile, subl, lanes):
+    """BSG micro-op assignment: (mo_index, max_mo), or None if unavailable.
+    rows/cols must be sorted by (row, col) in the internal numbering."""
+    lib = load_native()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    mo_index = np.zeros(rows.size, dtype=np.int64)
+    max_mo = lib.bsg_assign(rows, cols, rows.size, tile, subl, lanes, mo_index)
+    if max_mo < 0:
+        return None  # pathological group needed > 256 rounds
+    return mo_index, int(max_mo)
 
 
 def pack_dia_native(indptr, indices, data, n, n_pad, max_diags):

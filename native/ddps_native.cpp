@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -481,6 +482,102 @@ int64_t rap_galerkin(const int64_t* Ap, const int64_t* Ai, const double* Ax,
     Cp[c + 1] = nnz;
   }
   return nnz;
+}
+
+// ---------------------------------------------------------------------------
+// BSG micro-op assignment (ops/bsg.py::bsg_from_csr hot loop, native).
+//
+// Entries (rows, cols) are in the internal (RCM-permuted) numbering, sorted
+// by (row, col).  Within one micro-op of a (tile, window-bin) group, each
+// output row and each source (sublane, lane) pair may appear at most once —
+// the exactness condition of the two-level shuffle.  First-fit greedy
+// coloring with 256-round bitmasks; then dense per-tile micro-op ids from
+// the (bin, round) keys in order of appearance.
+// mo_index[out]: dense micro-op id per entry.  Returns max micro-ops over
+// tiles (the padded MO dimension), or -1 if any group needs > 256 rounds.
+// ---------------------------------------------------------------------------
+int64_t bsg_assign(const int64_t* rows, const int64_t* cols, int64_t nnz,
+                   int64_t tile, int64_t subl, int64_t lanes,
+                   int64_t* mo_index /* out, nnz */) {
+  const int64_t win = subl * lanes;  // rows of x covered by one window bin
+  struct Mask {
+    uint64_t w[4] = {0, 0, 0, 0};
+  };
+  auto first_free = [](const Mask& a, const Mask& b) -> int64_t {
+    for (int k = 0; k < 4; ++k) {
+      const uint64_t used = a.w[k] | b.w[k];
+      if (used != ~0ull) {
+        return k * 64 + __builtin_ctzll(~used);
+      }
+    }
+    return -1;
+  };
+  auto set_bit = [](Mask& m, int64_t r) { m.w[r >> 6] |= 1ull << (r & 63); };
+
+  std::vector<int64_t> order(nnz);
+  std::vector<int64_t> rounds(nnz);
+  int64_t max_mo = 0;
+  int64_t e = 0;
+  while (e < nnz) {
+    // One tile: contiguous because entries are row-sorted.
+    const int64_t t = rows[e] / tile;
+    int64_t e_end = e;
+    while (e_end < nnz && rows[e_end] / tile == t) ++e_end;
+    const int64_t cnt = e_end - e;
+    // Sort tile entries by (bin, original order) so each (t, bin) group is
+    // contiguous; original order within keeps column locality.
+    order.resize(cnt);
+    for (int64_t i = 0; i < cnt; ++i) order[i] = e + i;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return cols[a] / win < cols[b] / win;
+    });
+    // Greedy rounds per (bin) group.
+    std::vector<Mask> row_mask(tile), src_mask(win);
+    std::vector<int64_t> touched_rows, touched_src;
+    int64_t gi = 0;
+    while (gi < cnt) {
+      const int64_t bin = cols[order[gi]] / win;
+      int64_t gj = gi;
+      touched_rows.clear();
+      touched_src.clear();
+      while (gj < cnt && cols[order[gj]] / win == bin) {
+        const int64_t ee = order[gj];
+        const int64_t rloc = rows[ee] % tile;
+        const int64_t a = (rows[ee] % tile) / lanes;
+        const int64_t src = a * lanes + cols[ee] % lanes;
+        const int64_t r = first_free(row_mask[rloc], src_mask[src]);
+        if (r < 0) return -1;
+        set_bit(row_mask[rloc], r);
+        set_bit(src_mask[src], r);
+        touched_rows.push_back(rloc);
+        touched_src.push_back(src);
+        rounds[ee] = r;
+        ++gj;
+      }
+      for (int64_t rr : touched_rows) row_mask[rr] = Mask();
+      for (int64_t ss : touched_src) src_mask[ss] = Mask();
+      gi = gj;
+    }
+    // Dense micro-op ids from (bin, round) in order of appearance.
+    std::unordered_map<int64_t, int64_t> dense;
+    dense.reserve(cnt);
+    for (int64_t i = 0; i < cnt; ++i) {
+      const int64_t ee = order[i];
+      const int64_t key = (cols[ee] / win) * 256 + rounds[ee];
+      auto it = dense.find(key);
+      int64_t id;
+      if (it == dense.end()) {
+        id = static_cast<int64_t>(dense.size());
+        dense.emplace(key, id);
+      } else {
+        id = it->second;
+      }
+      mo_index[ee] = id;
+    }
+    max_mo = std::max(max_mo, static_cast<int64_t>(dense.size()));
+    e = e_end;
+  }
+  return max_mo < 1 ? 1 : max_mo;
 }
 
 }  // extern "C"
