@@ -92,53 +92,11 @@ class StencilOperator(PaddedLayout):
 
     def matvec(self, x_padded: jax.Array) -> jax.Array:
         mx, my, mz = self.dims
-        p = self.period
-        # Even-padded grid extents so the period-block view below is a pure
-        # reshape; boundary padding multiplies zero x (and pattern values
-        # beyond the grid are never read back — the output is sliced).
-        ex, ey, ez = (-mx) % p, (-my) % p, (-mz) % p
-        Mx, My, Mz = mx + ex, my + ey, mz + ez
         x3 = x_padded[: self.n_rows].reshape(mz, my, mx)
-        xe = jnp.pad(x3, ((1, 1 + ez), (1, 1 + ey), (1, 1 + ex)))
-        # Block view (Mz/p, p, My/p, p, Mx): the z/y parity axes are
-        # explicit, while the fastest axis stays whole (TPU layouts want a
-        # wide trailing dimension — a trailing p=2 axis measured 100x
-        # slower).  The x-axis periodicity folds into a tiny tiled
-        # (p, p, Mx) coefficient strip that broadcasts over the two large
-        # axes, so no coefficient field of size n is ever materialized.
-        shp5 = (Mz // p, p, My // p, p, Mx)
-        terms = []
-        for g, tap_idx in enumerate(self.groups):
-            ws = []
-            for d in tap_idx:
-                dx, dy, dz = self.taps[d]
-                ws.append(
-                    jax.lax.dynamic_slice(
-                        xe, (1 + dz, 1 + dy, 1 + dx), (Mz, My, Mx)
-                    )
-                )
-            while len(ws) > 1:  # sum the group's windows BEFORE multiplying
-                nx = [a + b for a, b in zip(ws[::2], ws[1::2])]
-                if len(ws) % 2:
-                    nx.append(ws[-1])
-                ws = nx
-            W = ws[0]
-            if self.group_const[g]:
-                terms.append(self.const_vals[g].astype(x_padded.dtype) * W)
-            else:
-                pat = self.pats[tap_idx[0]].astype(x_padded.dtype)  # (p,p,p)
-                strip = jnp.tile(pat, (1, 1, Mx // p))  # (p, p, Mx)
-                terms.append(
-                    (W.reshape(shp5) * strip[None, :, None, :, :]).reshape(
-                        Mz, My, Mx
-                    )
-                )
-        while len(terms) > 1:
-            nxt = [a + b for a, b in zip(terms[::2], terms[1::2])]
-            if len(terms) % 2:
-                nxt.append(terms[-1])
-            terms = nxt
-        y = terms[0][:mz, :my, :mx].reshape(-1)
+        y = stencil_core(
+            x3, None, None, self.period, self.taps, self.groups,
+            self.group_const, self.const_vals, self.pats, x_padded.dtype,
+        ).reshape(-1)
         y = jnp.pad(y, (0, self.n_pad - self.n_rows))
         return y + self.corr.astype(x_padded.dtype) * x_padded
 
@@ -160,6 +118,76 @@ class StencilOperator(PaddedLayout):
         pad_mask = jnp.arange(self.n_pad) >= self.n_rows
         d = jnp.where(d == 0, jnp.asarray(fill, d.dtype), d)
         return jnp.where(pad_mask, jnp.asarray(fill, d.dtype), d)
+
+
+def stencil_core(
+    x3: jax.Array,
+    z_lo: Optional[jax.Array],
+    z_hi: Optional[jax.Array],
+    period: int,
+    taps,
+    groups,
+    group_const,
+    const_vals: jax.Array,
+    pats: jax.Array,
+    dtype,
+) -> jax.Array:
+    """Pattern-grouped stencil application on a (mz, my, mx) grid block.
+
+    ``z_lo``/``z_hi``: optional (my, mx) neighbor z-layers (halo strips
+    from adjacent slabs in distributed runs); None means the global grid
+    ends there (zero boundary, like the assembled operator's truncation).
+    Returns the (mz, my, mx) product WITHOUT the diagonal correction.
+
+    Layout notes (measured on v5e, docs/PERF.md): the block view keeps the
+    fastest axis whole (a trailing period-2 axis was 100x slower), the z/y
+    parity axes are explicit, and the x-periodicity folds into a tiny
+    tiled (p, p, Mx) strip — so coefficient fields of size n are never
+    materialized.  Taps with identical patterns pre-sum their windows and
+    constant patterns multiply by scalars (3 multiplies for the 19-tap
+    heat stencil).
+    """
+    mz, my, mx = x3.shape
+    p = period
+    ex, ey, ez = (-mx) % p, (-my) % p, (-mz) % p
+    Mx, My, Mz = mx + ex, my + ey, mz + ez
+    lo = jnp.zeros((1, my, mx), x3.dtype) if z_lo is None else z_lo[None]
+    hi = jnp.zeros((1, my, mx), x3.dtype) if z_hi is None else z_hi[None]
+    xz = jnp.concatenate(
+        [lo, x3, hi, jnp.zeros((ez, my, mx), x3.dtype)], axis=0
+    )
+    xe = jnp.pad(xz, ((0, 0), (1, 1 + ey), (1, 1 + ex)))
+    shp5 = (Mz // p, p, My // p, p, Mx)
+    terms = []
+    for g, tap_idx in enumerate(groups):
+        ws = []
+        for d in tap_idx:
+            dx, dy, dz = taps[d]
+            ws.append(
+                jax.lax.dynamic_slice(xe, (1 + dz, 1 + dy, 1 + dx), (Mz, My, Mx))
+            )
+        while len(ws) > 1:  # sum the group's windows BEFORE multiplying
+            nx = [a + b for a, b in zip(ws[::2], ws[1::2])]
+            if len(ws) % 2:
+                nx.append(ws[-1])
+            ws = nx
+        W = ws[0]
+        if group_const[g]:
+            terms.append(const_vals[g].astype(dtype) * W)
+        else:
+            pat = pats[tap_idx[0]].astype(dtype)  # (p, p, p)
+            strip = jnp.tile(pat, (1, 1, Mx // p))  # (p, p, Mx)
+            terms.append(
+                (W.reshape(shp5) * strip[None, :, None, :, :]).reshape(
+                    Mz, My, Mx
+                )
+            )
+    while len(terms) > 1:
+        nxt = [a + b for a, b in zip(terms[::2], terms[1::2])]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0][:mz, :my, :mx]
 
 
 def stencil_from_dia(

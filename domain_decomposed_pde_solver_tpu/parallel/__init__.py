@@ -14,7 +14,14 @@ from .halo import HaloPlan, build_halo_plan
 from .decompose import decompose_mesh, write_decomposition
 from .ownership import node_ownership_from_element_partition
 from .schwarz import build_block_amg
-from .slab import SlabDIAPlan, build_slab_plan, slab_cg_solve
+from .slab import (
+    SlabDIAPlan,
+    SlabStencilOperator,
+    build_slab_plan,
+    build_slab_stencil,
+    slab_cg_solve,
+    slab_stencil_cg_solve,
+)
 from .slabamg import SlabAMG, build_slab_amg, slab_amg_cg_solve
 from .multihost import (
     initialize_multihost,
@@ -47,6 +54,9 @@ __all__ = [
     "node_ownership_from_element_partition",
     "build_block_amg",
     "SlabDIAPlan",
+    "SlabStencilOperator",
+    "build_slab_stencil",
+    "slab_stencil_cg_solve",
     "SlabAMG",
     "build_slab_amg",
     "slab_amg_cg_solve",

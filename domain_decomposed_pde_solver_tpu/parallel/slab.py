@@ -131,6 +131,170 @@ class SlabDIAOperator:
         return y
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pats", "const_vals", "corr", "mask"],
+    meta_fields=["taps", "groups", "group_const", "dims_local", "period"],
+)
+@dataclasses.dataclass
+class SlabStencilOperator:
+    """Per-device slab block of a lattice-stencil operator.
+
+    The distributed counterpart of :class:`..ops.stencil.StencilOperator`:
+    each device owns whole z-layers (``dims_local = (mx, my, mz_p)``), the
+    halo is exactly ONE z-layer per neighbor (vs bandwidth-many rows for
+    slab-DIA — the stencil's |dz| <= 1 makes the minimal halo explicit),
+    and the local matvec is the same pattern-grouped form (coefficients
+    broadcast from registers; measured 6.6x over DIA single-device).
+    ``corr`` carries the diagonal correction rows of this slab; ``mask``
+    zeroes padded rows past the global grid so dot products stay exact.
+    """
+
+    pats: jax.Array  # (ndiags, p, p, p)
+    const_vals: jax.Array  # (n_groups,)
+    corr: jax.Array  # (slab,)
+    mask: jax.Array  # (slab,) 1.0 on real rows, 0.0 on padding
+    taps: tuple
+    groups: tuple
+    group_const: tuple
+    dims_local: Tuple[int, int, int]
+    period: int
+
+    @property
+    def slab(self) -> int:
+        mx, my, mz_p = self.dims_local
+        return mx * my * mz_p
+
+    def matvec(self, x_own: jax.Array) -> jax.Array:
+        from ..ops.stencil import stencil_core
+
+        mx, my, mz_p = self.dims_local
+        layer = mx * my
+        nd = jax.lax.axis_size(AXIS)
+        # One-z-layer halo strips from the ring neighbors (edges get zeros,
+        # matching the global operator's truncation at the grid boundary).
+        lo = jax.lax.ppermute(
+            x_own[self.slab - layer :], AXIS, [(i, i + 1) for i in range(nd - 1)]
+        ).reshape(my, mx)
+        hi = jax.lax.ppermute(
+            x_own[:layer], AXIS, [(i + 1, i) for i in range(nd - 1)]
+        ).reshape(my, mx)
+        x3 = x_own.reshape(mz_p, my, mx)
+        y = stencil_core(
+            x3, lo, hi, self.period, self.taps, self.groups,
+            self.group_const, self.const_vals, self.pats, x_own.dtype,
+        ).reshape(-1)
+        return self.mask * (y + self.corr * x_own)
+
+
+def build_slab_stencil(S, nparts: int, row_align_layers: int = 1):
+    """Split a :class:`..ops.stencil.StencilOperator` into P z-layer slabs.
+
+    Returns ``(dims_local, corr (P, slab), mask (P, slab), stencil_meta)``
+    or None when the z-extent cannot be split into aligned whole-layer
+    slabs.  ``row_align_layers``: each slab's layer count is a multiple of
+    this (and of the stencil period)."""
+    mx, my, mz = S.dims
+    p = S.period
+    align = int(np.lcm(row_align_layers, p))
+    mz_p = -(-mz // nparts)
+    mz_p = -(-mz_p // align) * align
+    if mz_p < 2:  # a slab must cover more than the halo depth
+        return None
+    layer = mx * my
+    slab = layer * mz_p
+    n = S.n_rows
+    corr_full = np.zeros(nparts * slab, dtype=np.float32)
+    corr_full[:n] = np.asarray(S.corr)[:n]
+    mask_full = np.zeros(nparts * slab, dtype=np.float32)
+    mask_full[:n] = 1.0
+    meta = dict(
+        taps=S.taps, groups=S.groups, group_const=S.group_const,
+        dims_local=(mx, my, mz_p), period=p,
+    )
+    return (
+        (mx, my, mz_p),
+        corr_full.reshape(nparts, slab),
+        mask_full.reshape(nparts, slab),
+        meta,
+    )
+
+
+def slab_stencil_cg_solve(
+    S,
+    nparts: int,
+    b: np.ndarray,
+    x0: np.ndarray,
+    *,
+    mesh: Optional[Mesh] = None,
+    tol: float = 1e-12,
+    maxiter: int = 1000,
+    jacobi: bool = True,
+):
+    """Distributed CG over z-layer slabs of a lattice-stencil operator.
+
+    Same contract as :func:`slab_cg_solve` but the per-device matvec is the
+    pattern-broadcast stencil form with one-z-layer ppermute halos.
+    Returns (x_host, CGResult-shaped scalars) or None if the operator
+    cannot be layer-slabbed.
+    """
+    built = build_slab_stencil(S, nparts)
+    if built is None:
+        return None
+    dims_local, corr_p, mask_p, meta = built
+    slab = corr_p.shape[1]
+    n = S.n_rows
+
+    dev_mesh = mesh if mesh is not None else make_device_mesh(nparts)
+    sh = NamedSharding(dev_mesh, P(AXIS))
+    rep = NamedSharding(dev_mesh, P())
+
+    def scatter(v):
+        out = np.zeros((nparts, slab), dtype=np.float32)
+        out.reshape(-1)[:n] = v
+        return jax.device_put(out, sh)
+
+    d = np.asarray(S.diagonal_padded(fill=1.0))[:n]
+    inv_d = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+
+    corr_s = jax.device_put(corr_p, sh)
+    mask_s = jax.device_put(mask_p, sh)
+    b_s = scatter(np.asarray(b, np.float32))
+    x0_s = scatter(np.asarray(x0, np.float32))
+    invd_s = scatter(inv_d.astype(np.float32))
+    pats = jax.device_put(jnp.asarray(S.pats, jnp.float32), rep)
+    cvals = jax.device_put(jnp.asarray(S.const_vals, jnp.float32), rep)
+
+    from ..solvers.cg import CGResult, cg_solve
+    from ..solvers.precond.jacobi import DiagonalPreconditioner
+    from .sharded import _psum_dot
+
+    def body(corr_blk, mask_blk, b_blk, x_blk, invd_blk, pats_arg, cvals_arg):
+        op = SlabStencilOperator(
+            pats=pats_arg, const_vals=cvals_arg, corr=corr_blk[0],
+            mask=mask_blk[0], **meta,
+        )
+        M = DiagonalPreconditioner(invd_blk[0]) if jacobi else None
+        res = cg_solve(
+            op, b_blk[0], x_blk[0], precond=M, tol=tol, maxiter=maxiter,
+            dot=_psum_dot,
+        )
+        return res.x[None], res.iterations, res.relres, res.converged
+
+    fn = jax.shard_map(
+        body,
+        mesh=dev_mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+    x_s, iters, relres, conv = fn(
+        corr_s, mask_s, b_s, x0_s, invd_s, pats, cvals
+    )
+    x = np.asarray(x_s).reshape(-1)[:n]
+    return x, CGResult(x=x_s, iterations=iters, relres=relres, converged=conv)
+
+
 def slab_cg_solve(
     plan: SlabDIAPlan,
     b: np.ndarray,

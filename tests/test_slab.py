@@ -74,3 +74,47 @@ def test_slab_plan_invariant_and_refusal():
     if plan is not None:
         assert plan.slab >= plan.halo
     assert build_slab_plan(sys_.A, 64) is None
+
+
+def test_slab_stencil_cg_matches_serial():
+    """Distributed pattern-stencil CG (one-z-layer ppermute halos) gives the
+    same answer and iteration count as the single-device solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from domain_decomposed_pde_solver_tpu.io.boxmesh import box_mesh
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+    from domain_decomposed_pde_solver_tpu.ops import choose_operator
+    from domain_decomposed_pde_solver_tpu.ops.stencil import StencilOperator
+    from domain_decomposed_pde_solver_tpu.parallel import slab_stencil_cg_solve
+    from domain_decomposed_pde_solver_tpu.solvers import (
+        cg_solve,
+        jacobi_preconditioner,
+    )
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import (
+        infer_free_grid,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    mesh = box_mesh(12, 12, 33, elem_type="TETRA4")
+    sy = assemble_heat_system(mesh)
+    dims = infer_free_grid(mesh, sy.free_to_node)
+    S = choose_operator(sy.A, dtype=jnp.float32, grid_dims=dims)
+    assert isinstance(S, StencilOperator)
+
+    b = (sy.b / np.abs(sy.b).max()).astype(np.float32)
+    bj = S.put_vector(b)
+    ref = cg_solve(S, bj, jnp.zeros_like(bj),
+                   precond=jacobi_preconditioner(S), tol=1e-6, maxiter=800)
+
+    out = slab_stencil_cg_solve(S, 4, b, np.zeros_like(b), tol=1e-6, maxiter=800)
+    assert out is not None
+    x, res = out
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    import scipy.sparse as sp
+
+    M = sp.csr_matrix((sy.A.data, sy.A.indices, sy.A.indptr), shape=sy.A.shape)
+    relres = np.linalg.norm(M @ x.astype(np.float64) - b) / np.linalg.norm(b)
+    assert relres < 1e-5
