@@ -67,6 +67,14 @@ class SlabAMG:
     tail: AMGPreconditioner  # replicated levels 1+ (tiny)
     n_c: int  # true coarse rows
     n_pad_c: int  # tail's padded vector length
+    # Optional pattern-stencil form of the fine level (6.6x the DIA matvec;
+    # one-z-layer halos): corr/mask are (P, slab), meta is the static
+    # SlabStencilOperator metadata.  None -> slab-DIA fine level.
+    st_corr: Optional[np.ndarray] = None
+    st_mask: Optional[np.ndarray] = None
+    st_pats: Optional[np.ndarray] = None
+    st_cvals: Optional[np.ndarray] = None
+    st_meta: Optional[dict] = None
 
     @property
     def slab_c(self) -> int:
@@ -228,7 +236,33 @@ def build_slab_amg(
     b_ = brick
     ncx, ncy = -(-mx // b_), -(-my // b_)
     n_c = ncx * ncy * (-(-mz // b_))
+    # Pattern-stencil fine level (when the hierarchy's level-0 operator
+    # decomposed): split the diagonal correction into the same z-layer
+    # slabs; the pattern metadata is replicated.
+    from ..ops.stencil import StencilOperator
+
+    st = lvl0.A if isinstance(lvl0.A, StencilOperator) else None
+    st_kw = {}
+    if st is not None and mz_p % st.period == 0:
+        layer = mx * my
+        slab_rows = plan.slab
+        corr_full = np.zeros(nparts * slab_rows, dtype=np.float32)
+        corr_full[:n] = np.asarray(st.corr)[:n]
+        mask_full = np.zeros(nparts * slab_rows, dtype=np.float32)
+        mask_full[:n] = 1.0
+        st_kw = dict(
+            st_corr=corr_full.reshape(nparts, slab_rows),
+            st_mask=mask_full.reshape(nparts, slab_rows),
+            st_pats=np.asarray(st.pats, np.float32),
+            st_cvals=np.asarray(st.const_vals, np.float32),
+            st_meta=dict(
+                taps=st.taps, groups=st.groups,
+                group_const=st.group_const,
+                dims_local=(mx, my, mz_p), period=st.period,
+            ),
+        )
     return SlabAMG(
+        **st_kw,
         plan=plan,
         dims_local=(mx, my, mz_p),
         brick=brick,
@@ -264,14 +298,28 @@ def slab_amg_cg_solve(
     dev_mesh = mesh if mesh is not None else make_device_mesh(plan.nparts)
     sh = NamedSharding(dev_mesh, P(AXIS))
     rep = NamedSharding(dev_mesh, P())
-    data = jax.device_put(plan.data, sh)
-    b_s = jax.device_put(plan.scatter_vector(b, dtype=plan.data.dtype), sh)
-    x0_s = jax.device_put(plan.scatter_vector(x0, dtype=plan.data.dtype), sh)
+    use_st = samg.st_meta is not None
+    if use_st:
+        # Pattern-stencil fine level: corr/mask sharded, patterns replicated.
+        data = jax.device_put(samg.st_corr, sh)
+        mask = jax.device_put(samg.st_mask, sh)
+        pats = jax.device_put(jnp.asarray(samg.st_pats), rep)
+        cvals = jax.device_put(jnp.asarray(samg.st_cvals), rep)
+    else:
+        data = jax.device_put(plan.data, sh)
+        mask = jax.device_put(
+            np.zeros((plan.nparts, 1), dtype=plan.data.dtype), sh
+        )
+        pats = jax.device_put(jnp.zeros((1, 1, 1, 1), jnp.float32), rep)
+        cvals = jax.device_put(jnp.zeros((1,), jnp.float32), rep)
+    b_s = jax.device_put(plan.scatter_vector(b, dtype=np.float32), sh)
+    x0_s = jax.device_put(plan.scatter_vector(x0, dtype=np.float32), sh)
     tval = jax.device_put(samg.tval, sh)
     scale = jax.device_put(samg.scale, sh)
     inv_d = jax.device_put(samg.inv_diag, sh)
     tail = jax.device_put(samg.tail, rep)
     offsets, halo, slab = plan.offsets, plan.halo, plan.slab
+    st_meta = samg.st_meta
     meta = dict(
         dims_local=samg.dims_local,
         brick=samg.brick,
@@ -282,16 +330,25 @@ def slab_amg_cg_solve(
     )
     lmax = samg.lmax
 
-    def body(data_blk, b_blk, x_blk, tval_blk, scale_blk, invd_blk, tail_arg):
-        op = SlabDIAOperator(
-            data=data_blk[0], offsets=offsets, halo=halo, slab=slab
-        )
+    def body(data_blk, mask_blk, b_blk, x_blk, tval_blk, scale_blk,
+             invd_blk, pats_arg, cvals_arg, tail_arg):
+        if use_st:
+            from .slab import SlabStencilOperator
+
+            op = SlabStencilOperator(
+                pats=pats_arg, const_vals=cvals_arg, corr=data_blk[0],
+                mask=mask_blk[0], **st_meta,
+            )
+        else:
+            op = SlabDIAOperator(
+                data=data_blk[0], offsets=offsets, halo=halo, slab=slab
+            )
         M = _SlabAMGBlock(
             A=op,
             tval=tval_blk[0],
             scale=scale_blk[0],
             inv_diag=invd_blk[0],
-            lmax=jnp.asarray(lmax, data_blk.dtype),
+            lmax=jnp.asarray(lmax, jnp.float32),
             tail=tail_arg,
             **meta,
         )
@@ -304,11 +361,16 @@ def slab_amg_cg_solve(
     fn = jax.shard_map(
         body,
         mesh=dev_mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+            P(), P(), P(),
+        ),
         out_specs=(P(AXIS), P(), P(), P()),
         check_vma=False,
     )
-    x_s, iters, relres, conv = fn(data, b_s, x0_s, tval, scale, inv_d, tail)
+    x_s, iters, relres, conv = fn(
+        data, mask, b_s, x0_s, tval, scale, inv_d, pats, cvals, tail
+    )
     return plan.gather_vector(np.asarray(x_s)), CGResult(
         x=x_s, iterations=iters, relres=relres, converged=conv
     )

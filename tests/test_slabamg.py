@@ -53,6 +53,8 @@ def test_iterations_match_single_device(box, nparts):
     it1 = _single_device_iters(sy, dims)
     samg = build_slab_amg(sy.A, dims, nparts)
     assert samg is not None
+    # The fine level rides the pattern-stencil form on box meshes.
+    assert samg.st_meta is not None
     b = sy.b.astype(np.float32) / float(np.abs(sy.b).max())
     x, res = slab_amg_cg_solve(samg, b, np.zeros_like(b), tol=1e-6, maxiter=200)
     itP = int(res.iterations)
