@@ -152,9 +152,38 @@ def measured_stream_gbps(reps=3):
     return 2 * big.size * 4 / dt / 1e9
 
 
+def _init_backend_with_retry(max_tries=12, sleep_s=45):
+    """Touch the backend early, retrying through tunnel outages.
+
+    The axon TPU plugin intermittently fails to initialize for minutes at
+    a time; a failed first touch would otherwise abort the whole bench.
+    Falls back to CPU after the retry budget so the driver always gets an
+    artifact (clearly marked by device_kind)."""
+    import time as _time
+
+    import jax
+
+    for attempt in range(max_tries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            print(f"# backend init failed (attempt {attempt}): {e}", flush=True)
+            try:
+                import jax._src.xla_bridge as xb
+
+                xb._clear_backends()
+            except Exception:
+                pass
+            _time.sleep(sleep_s)
+    jax.config.update("jax_platforms", "cpu")
+    return jax.devices()
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _init_backend_with_retry()
 
     from domain_decomposed_pde_solver_tpu.io import read_exodus
     from domain_decomposed_pde_solver_tpu.io.boxmesh import box_mesh
