@@ -33,3 +33,29 @@ def test_refinement_warm_start(data_dir):
     # Warm start from the solution: zero additional refinements needed.
     res2 = iterative_refinement_solve(sys_.A, sys_.b, x0=res1.x, tol=1e-9)
     assert res2.refinements == 0 and res2.converged
+
+
+def test_refinement_over_bsg_operator():
+    """f64-accurate answers (1e-10) with the BSG fast path as the inner
+    solver — the uniform put/get interface makes the layouts compose."""
+    import numpy as np
+
+    from domain_decomposed_pde_solver_tpu.io import read_exodus
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+    from domain_decomposed_pde_solver_tpu.ops.bsg import bsg_from_csr
+    from domain_decomposed_pde_solver_tpu.solvers import iterative_refinement_solve
+
+    mesh = read_exodus("/root/reference/data/brick.exo")
+    sy = assemble_heat_system(mesh)
+    B = bsg_from_csr(sy.A)
+    res = iterative_refinement_solve(
+        sy.A, sy.b, operator=B, tol=1e-10, inner_tol=1e-5
+    )
+    assert res.converged
+    assert res.relres < 1e-10
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((sy.A.data, sy.A.indices, sy.A.indptr), shape=sy.A.shape)
+    assert (
+        np.linalg.norm(S @ res.x - sy.b) / np.linalg.norm(sy.b) < 1e-9
+    )
