@@ -7,6 +7,8 @@ from .exodus import (
     read_exodus,
     read_nodal_vars,
     write_exodus,
+    MeshSlice,
+    read_exodus_partial,
 )
 from .boxmesh import box_mesh
 from .refine import refine_uniform

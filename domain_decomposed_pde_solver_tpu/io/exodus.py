@@ -22,12 +22,16 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional, Sequence
 
+import dataclasses
+
 import numpy as np
 from scipy.io import netcdf_file
 
 from .mesh import ElemBlock, MeshModel, NodeSet, SideSet
 
 __all__ = [
+    "MeshSlice",
+    "read_exodus_partial",
     "read_exodus",
     "write_exodus",
     "ExodusSolutionWriter",
@@ -67,6 +71,127 @@ def _get(nc, name, default=None):
         return default
     data = np.array(v.data if hasattr(v, "data") else v[:])
     return data
+
+
+@dataclasses.dataclass
+class MeshSlice:
+    """A block-distributed element slice of a mesh (per-host ingest).
+
+    The multi-host analogue of the reference's element path, where every
+    rank reads only its contiguous slice of the connectivity
+    (``ExodusIO.hpp:781-828``) instead of the whole file.  Node ids in
+    ``blocks[*].conn`` remain GLOBAL; ``node_ids`` lists the referenced
+    global nodes (sorted) and ``coords`` carries only their coordinates.
+    """
+
+    part: int
+    nparts: int
+    elem_range: "tuple[int, int]"  # [lo, hi) global element ids
+    blocks: "List[ElemBlock]"
+    node_ids: np.ndarray  # (n_local_nodes,) sorted global node ids
+    coords: np.ndarray  # (n_local_nodes, num_dim)
+    num_nodes_global: int
+    num_elem_global: int
+
+
+def read_exodus_partial(path: str, part: int, nparts: int) -> MeshSlice:
+    """Read only this part's contiguous element slice of the mesh.
+
+    Elements are block-distributed across ``nparts`` in global order (the
+    ``ExodusIO.hpp:781-828`` rule); connectivity is sliced with
+    memory-mapped netCDF reads, so each host touches only its pages of the
+    ``connect{i}`` variables plus the coordinates of referenced nodes —
+    per-host IO scales with the slice, not the mesh.
+    """
+    if not (0 <= part < nparts):
+        raise ValueError(f"part {part} out of range for nparts={nparts}")
+    try:
+        nc = netcdf_file(path, "r", mmap=True)
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        raise ExodusReadError(f"{path}: not a readable netCDF3 file ({e})") from e
+    try:
+        dims = nc.dimensions
+        num_nodes = int(dims["num_nodes"])
+        num_dim = int(dims["num_dim"])
+        num_el_blk = int(dims.get("num_el_blk", 0) or 0)
+        blk_sizes = [
+            int(dims[f"num_el_in_blk{i + 1}"]) for i in range(num_el_blk)
+        ]
+        num_elem = int(sum(blk_sizes))
+        per = -(-num_elem // nparts)
+        lo = min(part * per, num_elem)
+        hi = min(lo + per, num_elem)
+
+        eb_ids = _get(nc, "eb_prop1")
+        eb_ids = (
+            eb_ids.astype(np.int64)
+            if eb_ids is not None
+            else np.arange(1, num_el_blk + 1)
+        )
+        blocks: List[ElemBlock] = []
+        offset = 0
+        for i in range(num_el_blk):
+            b_lo = max(lo - offset, 0)
+            b_hi = min(hi - offset, blk_sizes[i])
+            offset += blk_sizes[i]
+            if b_hi <= b_lo:
+                continue
+            cv = nc.variables[f"connect{i + 1}"]
+            conn = np.array(cv[b_lo:b_hi], dtype=np.int64) - 1
+            elem_type = (
+                cv.elem_type.decode("latin-1").strip()
+                if isinstance(getattr(cv, "elem_type", ""), bytes)
+                else str(getattr(cv, "elem_type", "")).strip()
+            )
+            blocks.append(
+                ElemBlock(
+                    id=int(eb_ids[i]), elem_type=elem_type, conn=conn, name=""
+                )
+            )
+
+        node_ids = (
+            np.unique(np.concatenate([b.conn.reshape(-1) for b in blocks]))
+            if blocks
+            else np.zeros(0, np.int64)
+        )
+        if "coord" in nc.variables:
+            cvar = nc.variables["coord"]
+            coords = np.stack(
+                [np.asarray(cvar[d][node_ids], dtype=np.float64)
+                 for d in range(num_dim)],
+                axis=1,
+            )
+        else:
+            axes = []
+            for ax in ("coordx", "coordy", "coordz")[:num_dim]:
+                v = nc.variables.get(ax)
+                axes.append(
+                    np.zeros(node_ids.size)
+                    if v is None
+                    else np.asarray(v[:], dtype=np.float64)[node_ids]
+                )
+            coords = (
+                np.stack(axes, axis=1)
+                if axes
+                else np.zeros((node_ids.size, 0))
+            )
+        return MeshSlice(
+            part=part,
+            nparts=nparts,
+            elem_range=(lo, hi),
+            blocks=blocks,
+            node_ids=node_ids,
+            coords=coords,
+            num_nodes_global=num_nodes,
+            num_elem_global=num_elem,
+        )
+    finally:
+        try:
+            nc.close()
+        except Exception:
+            pass
 
 
 def read_exodus(path: str) -> MeshModel:

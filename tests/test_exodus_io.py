@@ -193,3 +193,49 @@ class TestCorruptFiles:
             warnings.simplefilter("always")
             assemble_heat_system(mesh)
         assert any("singular" in str(x.message) for x in w)
+
+
+def test_read_exodus_partial_covers_full_mesh():
+    """Union of all parts' element slices == the full mesh; node ids and
+    coordinates of every referenced node match the full read."""
+    from domain_decomposed_pde_solver_tpu.io import (
+        read_exodus,
+        read_exodus_partial,
+    )
+
+    path = "/root/reference/data/tet-cube-heat.exo"
+    full = read_exodus(path)
+    all_conn = np.concatenate([b.conn for b in full.blocks])
+    nparts = 4
+    got = []
+    total = 0
+    for p in range(nparts):
+        sl = read_exodus_partial(path, p, nparts)
+        assert sl.num_elem_global == all_conn.shape[0]
+        lo, hi = sl.elem_range
+        total += hi - lo
+        for b in sl.blocks:
+            got.append(b.conn)
+        # Coordinates of referenced nodes match the full read.
+        np.testing.assert_allclose(sl.coords, full.coords[sl.node_ids])
+    assert total == all_conn.shape[0]
+    np.testing.assert_array_equal(np.concatenate(got), all_conn)
+
+
+def test_read_exodus_partial_multiblock():
+    """Element slicing crosses block boundaries correctly (2blocks.exo)."""
+    from domain_decomposed_pde_solver_tpu.io import (
+        read_exodus,
+        read_exodus_partial,
+    )
+
+    path = "/root/reference/data/2blocks.exo"
+    full = read_exodus(path)
+    all_conn = np.concatenate([b.conn for b in full.blocks])
+    parts = [read_exodus_partial(path, p, 3) for p in range(3)]
+    got = np.concatenate(
+        [b.conn for sl in parts for b in sl.blocks]
+    )
+    np.testing.assert_array_equal(got, all_conn)
+    # The middle slice should straddle the two blocks.
+    assert any(len(sl.blocks) == 2 for sl in parts) or len(full.blocks) == 1
