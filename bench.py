@@ -321,6 +321,21 @@ def main():
     if t_full > t_half > 0 and frac > 0:
         extra["cg_jacobi_ms_tet_cube_device_est"] = (t_full - t_half) / frac * 1e3
 
+    # --- Fused whole-CG kernel (one pallas_call per solve) ---------------
+    if type(A).__name__ == "BSGMatrix":
+        try:
+            from domain_decomposed_pde_solver_tpu.solvers import fused_cg_solve
+
+            rf = fused_cg_solve(A, bs, tol=1e-6, maxiter=600)
+            _sync(rf.x)
+            t0 = time.perf_counter()
+            rf = fused_cg_solve(A, bs, tol=1e-6, maxiter=600)
+            _sync(rf.x)
+            extra["cg_fused_ms_tet_cube"] = (time.perf_counter() - t0) * 1e3
+            extra["cg_fused_iters_tet_cube"] = int(rf.iterations)
+        except Exception as e:  # Mosaic feature gaps shouldn't kill the run
+            extra["cg_fused_error"] = str(e)[:200]
+
     # --- CG+AMG on tet-cube (unstructured greedy hierarchy) --------------
     from domain_decomposed_pde_solver_tpu.solvers import (
         smoothed_aggregation_setup as _sa_setup,
