@@ -91,9 +91,12 @@ def _kernel(T, M, R2, nx2, maxiter, tol,
     k, rz, rnorm2 = jax.lax.while_loop(
         cond, body, (jnp.int32(0), rz0, rnorm2_0)
     )
-    stats_ref[0, 0] = k.astype(jnp.float32)
-    stats_ref[0, 1] = jnp.sqrt(rnorm2 / bnorm2)
-    stats_ref[0, 2] = (rnorm2 <= target2).astype(jnp.float32)
+    # Full-row store (single-element VMEM stores are fragile in Mosaic).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    out = jnp.where(lane == 0, k.astype(jnp.float32), 0.0)
+    out = jnp.where(lane == 1, jnp.sqrt(rnorm2 / bnorm2), out)
+    out = jnp.where(lane == 2, (rnorm2 <= target2).astype(jnp.float32), out)
+    stats_ref[...] = out
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "interpret"))
