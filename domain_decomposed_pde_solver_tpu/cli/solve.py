@@ -281,6 +281,12 @@ def _make_precond(cfg, A, system):
         from ..solvers import ilu0_preconditioner
 
         return ilu0_preconditioner(system.A, n_pad=A.n_pad, dtype=A.dtype)
+    if cfg.precond == "ilut":
+        # The literal Ifpack2-ILUT analogue at its defaults
+        # (level-of-fill 1.0, drop tol 0 — ``BelosMueLuSolver.cpp:92-97``).
+        from ..solvers import ilut_preconditioner
+
+        return ilut_preconditioner(system.A, n_pad=A.n_pad, dtype=A.dtype)
     if cfg.precond == "amg":
         from ..ops.bsg import BSGMatrix
         from ..solvers.precond.amg import infer_free_grid

@@ -18,6 +18,7 @@ from .precond import (
     ILU0Preconditioner,
     chebyshev_preconditioner,
     ilu0_preconditioner,
+    ilut_preconditioner,
     estimate_lmax_dinv_a,
     jacobi_preconditioner,
     smoothed_aggregation_setup,
@@ -47,4 +48,5 @@ __all__ = [
     "smoothed_aggregation_setup",
     "ILU0Preconditioner",
     "ilu0_preconditioner",
+    "ilut_preconditioner",
 ]

@@ -7,7 +7,7 @@ from .chebyshev import (
     estimate_lmax_dinv_a,
 )
 from .wrappers import CastPreconditioner
-from .ilu import ILU0Preconditioner, ilu0_factor, ilu0_preconditioner
+from .ilu import ILU0Preconditioner, ilu0_factor, ilu0_preconditioner, ilut_preconditioner
 from .amg import (
     AMGPreconditioner,
     aggregate_greedy,
@@ -23,6 +23,7 @@ __all__ = [
     "ILU0Preconditioner",
     "ilu0_factor",
     "ilu0_preconditioner",
+    "ilut_preconditioner",
     "jacobi_preconditioner",
     "chebyshev_preconditioner",
     "estimate_lmax_dinv_a",

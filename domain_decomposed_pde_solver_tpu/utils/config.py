@@ -55,7 +55,7 @@ def add_solve_args(ap: argparse.ArgumentParser) -> None:
     )
     ap.add_argument("--solver", choices=["cg", "gmres", "bicgstab"], default=d.solver)
     ap.add_argument(
-        "--precond", choices=["none", "jacobi", "chebyshev", "amg", "ilu0"], default=d.precond
+        "--precond", choices=["none", "jacobi", "chebyshev", "amg", "ilu0", "ilut"], default=d.precond
     )
     ap.add_argument("--partitions", type=int, default=d.partitions)
     ap.add_argument("--dtype", choices=["float32", "float64"], default=d.dtype)

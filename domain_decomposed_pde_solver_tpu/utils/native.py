@@ -103,6 +103,11 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.bf16_exact.argtypes = [_f64p, _i64]
         lib.bsg_assign.restype = _i64
         lib.bsg_assign.argtypes = [_i64p, _i64p, _i64, _i64, _i64, _i64, _i64p]
+        lib.ilut.restype = _i64
+        lib.ilut.argtypes = [
+            _i64p, _i64p, _f64p, _i64, ctypes.c_double, ctypes.c_double,
+            _i64p, _i64p, _f64p, _i64p, _i64p, _f64p, _f64p,
+        ]
         _lib = lib
         return _lib
 
@@ -260,6 +265,36 @@ def bf16_exact_native(data):
         return None
     data = np.ascontiguousarray(data, np.float64)
     return bool(lib.bf16_exact(data, data.size))
+
+
+def ilut_native(indptr, indices, data, n, fill_factor, droptol):
+    """ILUT factorization: (Lp, Li, Lx, Up, Ui, Ux, diag) or None.
+    Raises ZeroDivisionError on a zero pivot."""
+    lib = load_native()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    data = np.ascontiguousarray(data, np.float64)
+    lens = np.diff(indptr)
+    caps = np.maximum(1, np.ceil(fill_factor * lens).astype(np.int64))
+    cap_total = int(caps.sum())
+    Lp = np.zeros(n + 1, np.int64)
+    Up = np.zeros(n + 1, np.int64)
+    Li = np.zeros(cap_total, np.int64)
+    Lx = np.zeros(cap_total, np.float64)
+    Ui = np.zeros(cap_total, np.int64)
+    Ux = np.zeros(cap_total, np.float64)
+    diag = np.zeros(n, np.float64)
+    rc = lib.ilut(
+        indptr, indices, data, n, float(fill_factor), float(droptol),
+        Lp, Li, Lx, Up, Ui, Ux, diag,
+    )
+    if rc != 0:
+        raise ZeroDivisionError(f"ILUT: zero pivot at row {int(rc) - 1}")
+    return (
+        Lp, Li[: Lp[n]], Lx[: Lp[n]], Up, Ui[: Up[n]], Ux[: Up[n]], diag
+    )
 
 
 def bsg_assign_native(rows, cols, tile, subl, lanes):

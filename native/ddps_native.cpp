@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libddps_native.so ddps_native.cpp
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -265,6 +266,109 @@ int64_t ilu0(const int64_t* indptr, const int64_t* indices, double* data,
     }
     if (data[diag_pos[i]] == 0.0) return i + 1;  // numerically zero pivot
     for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) pos[indices[p]] = -1;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// ILUT (Saad's threshold incomplete LU) — the literal analogue of Ifpack2's
+// ILUT, the reference's production preconditioner
+// (BelosMueLuSolver.cpp:92-97; defaults level-of-fill 1.0, drop tol 0).
+// Row-wise IKJ with a dense working row; per-row fill cap
+// p_i = max(1, ceil(fill_factor * nnz(A_i))) largest-magnitude entries kept
+// per factor; entries below droptol * ||A_i||_2 dropped during elimination.
+// Caller allocates Li/Lx and Ui/Ux with capacity sum_i p_i.
+// Returns 0, or (i+1) on a zero pivot at row i.
+// ---------------------------------------------------------------------------
+int64_t ilut(const int64_t* Ap, const int64_t* Ai, const double* Ax,
+             int64_t n, double fill_factor, double droptol,
+             int64_t* Lp, int64_t* Li, double* Lx,
+             int64_t* Up, int64_t* Ui, double* Ux, double* diag) {
+  std::vector<double> w(n, 0.0);
+  std::vector<char> occ(n, 0);
+  std::vector<int64_t> occl;
+  std::vector<int64_t> cand;
+  Lp[0] = 0;
+  Up[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    occl.clear();
+    double nrm2 = 0.0;
+    for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+      w[Ai[p]] = Ax[p];
+      if (!occ[Ai[p]]) {
+        occ[Ai[p]] = 1;
+        occl.push_back(Ai[p]);
+      }
+      nrm2 += Ax[p] * Ax[p];
+    }
+    const double tau = droptol * std::sqrt(nrm2);
+    const int64_t cap = std::max<int64_t>(
+        1, static_cast<int64_t>(
+               std::ceil(fill_factor * double(Ap[i + 1] - Ap[i]))));
+    // Eliminate lower entries in ascending column order (new fill-in can
+    // add more lower columns, so re-scan with a sorted working list).
+    std::sort(occl.begin(), occl.end());
+    for (size_t idx = 0; idx < occl.size(); ++idx) {
+      const int64_t k = occl[idx];
+      if (k >= i) break;
+      if (w[k] == 0.0) continue;
+      w[k] /= diag[k];
+      if (std::abs(w[k]) < tau) {
+        w[k] = 0.0;
+        continue;
+      }
+      bool added = false;
+      for (int64_t q = Up[k]; q < Up[k + 1]; ++q) {
+        const int64_t c = Ui[q];
+        if (!occ[c]) {
+          occ[c] = 1;
+          occl.push_back(c);
+          added = true;
+        }
+        w[c] -= w[k] * Ux[q];
+      }
+      if (added) {  // keep ascending order for the remaining elimination
+        std::sort(occl.begin() + idx + 1, occl.end());
+      }
+    }
+    if (w[i] == 0.0) {
+      for (int64_t c : occl) {
+        occ[c] = 0;
+        w[c] = 0.0;
+      }
+      return i + 1;
+    }
+    diag[i] = w[i];
+    // Keep the cap largest-magnitude entries per factor, columns sorted.
+    auto emit = [&](bool lower_part, int64_t* Pp, int64_t* Pi, double* Px) {
+      cand.clear();
+      for (int64_t c : occl) {
+        const bool is_low = c < i;
+        if (is_low == lower_part && c != i && w[c] != 0.0) cand.push_back(c);
+      }
+      if (static_cast<int64_t>(cand.size()) > cap) {
+        std::nth_element(
+            cand.begin(), cand.begin() + cap, cand.end(),
+            [&](int64_t a, int64_t b) {
+              return std::abs(w[a]) > std::abs(w[b]);
+            });
+        cand.resize(cap);
+      }
+      std::sort(cand.begin(), cand.end());
+      int64_t out = Pp[i];
+      for (int64_t c : cand) {
+        Pi[out] = c;
+        Px[out] = w[c];
+        ++out;
+      }
+      Pp[i + 1] = out;
+    };
+    emit(true, Lp, Li, Lx);
+    emit(false, Up, Ui, Ux);
+    for (int64_t c : occl) {
+      occ[c] = 0;
+      w[c] = 0.0;
+    }
   }
   return 0;
 }
