@@ -365,7 +365,20 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
     )
     parts = partition_graph(adj, cfg.partitions, coords=coords)
     plan = build_halo_plan(A, parts, cfg.partitions, dtype=np.dtype(dtype))
-    op = ShardedOperator.from_plan(plan, make_device_mesh(cfg.partitions))
+    # Unstructured f32 on TPU with an operator-space preconditioner: the
+    # per-device local SpMV rides the BSG shuffle-gather kernel.
+    import jax
+
+    op_cls = ShardedOperator
+    if (
+        np.dtype(dtype) == np.float32
+        and jax.devices()[0].platform == "tpu"
+        and cfg.precond in ("none", "jacobi", "chebyshev")
+    ):
+        from ..parallel.sharded import BSGShardedOperator
+
+        op_cls = BSGShardedOperator
+    op = op_cls.from_plan(plan, make_device_mesh(cfg.partitions))
     b = op.put_vector(system.b)
     x0 = op.put_vector(x0_host)
     # Honor --precond: none disables preconditioning; amg uses block-Schwarz

@@ -30,6 +30,7 @@ from .multihost import (
 )
 from .slabbrick import SlabBrickPrecond, build_slab_brick_precond
 from .sharded import (
+    BSGShardedOperator,
     ShardedOperator,
     make_device_mesh,
     sharded_cg_chunk,
@@ -63,6 +64,7 @@ __all__ = [
     "initialize_multihost",
     "multihost_slab_cg_solve",
     "put_global",
+    "BSGShardedOperator",
     "build_slab_plan",
     "slab_cg_solve",
     "SlabBrickPrecond",

@@ -87,6 +87,117 @@ class ShardedOperator:
     def get_vector(self, x_sharded: jax.Array) -> np.ndarray:
         return self.plan.gather_vector(np.asarray(x_sharded))
 
+    # -- generic block construction (lets solver entry points stay
+    #    agnostic to the local operator format) --------------------------
+    def block_leaves(self) -> dict:
+        """Pytree of (P, ...) arrays sharded on axis 0."""
+        return {"cols": self.cols, "vals": self.vals, "send_idx": self.send_idx}
+
+    def make_block(self, blk: dict):
+        """Build the per-device operator from [0]-indexed leaves."""
+        return BlockOperator(blk["cols"], blk["vals"], blk["send_idx"])
+
+
+@dataclasses.dataclass
+class BSGShardedOperator(ShardedOperator):
+    """Sharded operator whose per-device local SpMV is the BSG
+    shuffle-gather kernel instead of serialized ELL gathers.
+
+    Each part's (owned-rows x extended-local) block is packed as a square
+    BSG operator over the extended-local index space (halo columns are
+    just extra rows of the padded x; owned rows 0..n_local-1 carry the
+    matrix).  No reordering is applied — the extended-local layout is
+    fixed by the halo plan — so vectors flow straight through; the halo
+    exchange is unchanged (`all_to_all` on the (P, H) send buffers).
+    The unstructured domain-decomposition configuration of the reference
+    (`ExodusMatrixTest.cpp:146-149`) on the fast kernel.
+    """
+
+    bsg_stack: object = None  # BSGMatrix with (P, ...)-stacked leaves
+
+    @classmethod
+    def from_plan(cls, plan: HaloPlan, mesh: Mesh, dtype=None) -> "BSGShardedOperator":
+        import dataclasses as _dc
+
+        from ..ops.bsg import BSGMatrix, bsg_from_csr
+        from ..ops.csr import CSRMatrix
+
+        base = ShardedOperator.from_plan(plan, mesh, dtype=dtype)
+        nparts, n_local, K = plan.ell_cols.shape
+        H = plan.send_idx.shape[2]
+        n_ext = n_local + nparts * H
+        parts = []
+        for p in range(nparts):
+            cols = np.asarray(plan.ell_cols[p])
+            vals = np.asarray(plan.ell_vals[p], dtype=np.float64)
+            rows = np.repeat(np.arange(n_local), K)
+            nz = vals.reshape(-1) != 0
+            r, c, v = rows[nz], cols.reshape(-1)[nz], vals.reshape(-1)[nz]
+            o = np.lexsort((c, r))
+            r, c, v = r[o], c[o], v[o]
+            indptr = np.zeros(n_ext + 1, np.int64)
+            np.add.at(indptr, r + 1, 1)
+            indptr = np.cumsum(indptr)
+            csr = CSRMatrix(
+                indptr=indptr, indices=c.astype(np.int64), data=v,
+                shape=(n_ext, n_ext),
+            )
+            parts.append(bsg_from_csr(csr, reorder=False))
+        max_mo = max(b.max_mo for b in parts)
+
+        def pad_mo(b):
+            extra = max_mo - b.max_mo
+            if extra == 0:
+                return b
+            return _dc.replace(
+                b,
+                w0=jnp.pad(b.w0, ((0, 0), (0, extra))),
+                qq=jnp.pad(b.qq, ((0, 0), (0, extra), (0, 0), (0, 0))),
+                rm=jnp.pad(b.rm, ((0, 0), (0, extra), (0, 0), (0, 0))),
+                vals=jnp.pad(b.vals, ((0, 0), (0, extra), (0, 0), (0, 0))),
+                max_mo=max_mo,
+            )
+
+        parts = [pad_mo(b) for b in parts]
+        sh = NamedSharding(mesh, P(AXIS))
+        stack = jax.tree_util.tree_map(
+            lambda *leaves: jax.device_put(jnp.stack(leaves), sh), *parts
+        )
+        return cls(
+            mesh=mesh,
+            plan=plan,
+            cols=base.cols,
+            vals=base.vals,
+            send_idx=base.send_idx,
+            bsg_stack=stack,
+        )
+
+    def block_leaves(self) -> dict:
+        return {"bsg": self.bsg_stack, "send_idx": self.send_idx}
+
+    def make_block(self, blk: dict):
+        return BSGBlockOperator(bsg=blk["bsg"], send_idx=blk["send_idx"])
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bsg", "send_idx"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class BSGBlockOperator:
+    """Per-device halo-exchange + BSG local SpMV (inside shard_map)."""
+
+    bsg: object  # BSGMatrix over the extended-local space
+    send_idx: jax.Array  # (P, H)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        n_local = x.shape[0]
+        halo = _halo_exchange(x, self.send_idx)
+        x_ext = jnp.concatenate([x, halo.reshape(-1)])
+        x_pad = jnp.pad(x_ext, (0, self.bsg.n_pad - x_ext.shape[0]))
+        return self.bsg.matvec(x_pad)[:n_local]
+
 
 # ---------------------------------------------------------------------------
 # Inside-shard_map building blocks (operate on per-device blocks)
@@ -165,8 +276,12 @@ def sharded_cg_solve(
     have_amg = block_amg is not None
     have_coarse = coarse_inv is not None
 
-    def body(cols, vals, send_idx, b_blk, x_blk, *rest):
-        op = BlockOperator(cols[0], vals[0], send_idx[0])
+    make_block = type(op).make_block
+
+    def body(leaves, b_blk, x_blk, *rest):
+        op_local = make_block(
+            op, jax.tree_util.tree_map(lambda a: a[0], leaves)
+        )
         rest = list(rest)
         M = None
         if have_M:
@@ -175,7 +290,7 @@ def sharded_cg_solve(
                 from ..solvers.precond.chebyshev import ChebyshevPreconditioner
 
                 M = ChebyshevPreconditioner(
-                    A=op,
+                    A=op_local,
                     inv_diag=inv_d,
                     lmax=jnp.asarray(cheb_lmax, b_blk.dtype),
                     degree=cheb_degree,
@@ -194,7 +309,7 @@ def sharded_cg_solve(
                 M = DiagonalPreconditioner(jnp.ones_like(b_blk[0]))
             M = TwoLevelPrecond(local=M, Ac_inv=Ac_inv, valid=valid)
         res = cg_solve(
-            op, b_blk[0], x_blk[0], precond=M, tol=tol, maxiter=maxiter,
+            op_local, b_blk[0], x_blk[0], precond=M, tol=tol, maxiter=maxiter,
             dot=_psum_dot,
         )
         return res.x[None], res.iterations, res.relres, res.converged
@@ -205,7 +320,7 @@ def sharded_cg_solve(
     if have_coarse:
         vectors += (coarse_inv, row_valid)
         coarse_specs = (P(), P(AXIS))
-    n_sharded = 3 + len(vectors) - len(coarse_specs)
+    n_sharded = 1 + len(vectors) - len(coarse_specs)
     fn = jax.shard_map(
         body,
         mesh=op.mesh,
@@ -213,7 +328,7 @@ def sharded_cg_solve(
         out_specs=(P(AXIS), P(), P(), P()),
         check_vma=False,
     )
-    x, iters, relres, conv = fn(op.cols, op.vals, op.send_idx, *vectors)
+    x, iters, relres, conv = fn(op.block_leaves(), *vectors)
     return CGResult(x=x, iterations=iters, relres=relres, converged=conv)
 
 

@@ -219,3 +219,59 @@ def test_two_level_schwarz(data_dir):
     x = op.get_vector(r2.x)
     xd = np.linalg.solve(sys_.A.to_dense(), sys_.b)
     assert np.abs(x - xd).max() / np.abs(xd).max() < 1e-7
+
+
+def test_bsg_sharded_matches_ell_sharded():
+    """The BSG-local sharded operator (halo exchange + shuffle-gather local
+    SpMV) reproduces the ELL sharded solve: same iterations, same answer —
+    the reference's unstructured domain-decomposition configuration
+    (``ExodusMatrixTest.cpp:146-149``) on the fast kernel."""
+    import jax
+
+    from domain_decomposed_pde_solver_tpu.parallel.sharded import (
+        BSGShardedOperator,
+    )
+
+    import pathlib
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    mesh = read_exodus(pathlib.Path("/root/reference/data") / "brick.exo")
+    system = assemble_heat_system(mesh)
+    A = system.A
+    rows = np.repeat(np.arange(A.n_rows), A.row_lengths())
+    off = rows != A.indices
+    adj = coo_to_csr(
+        rows[off], A.indices[off], np.ones(int(off.sum())), A.shape,
+        sum_dups=False,
+    )
+    parts = partition_graph(adj, 4)
+    plan = build_halo_plan(A, parts, 4, dtype=np.float32)
+    dev_mesh = make_device_mesh(4)
+
+    b_host = (system.b / np.abs(system.b).max()).astype(np.float32)
+    deg = np.where(system.degree > 0, system.degree, 1.0)
+
+    op_ell = ShardedOperator.from_plan(plan, dev_mesh)
+    r_ell = sharded_cg_solve(
+        op_ell, op_ell.put_vector(b_host),
+        op_ell.put_vector(np.zeros_like(b_host)),
+        precond_diag=op_ell.put_vector(1.0 / deg), tol=1e-6, maxiter=500,
+    )
+
+    op_bsg = BSGShardedOperator.from_plan(plan, dev_mesh)
+    r_bsg = sharded_cg_solve(
+        op_bsg, op_bsg.put_vector(b_host),
+        op_bsg.put_vector(np.zeros_like(b_host)),
+        precond_diag=op_bsg.put_vector(1.0 / deg), tol=1e-6, maxiter=500,
+    )
+    assert bool(r_bsg.converged)
+    assert abs(int(r_bsg.iterations) - int(r_ell.iterations)) <= 2
+    x_ell = op_ell.get_vector(r_ell.x)
+    x_bsg = op_bsg.get_vector(r_bsg.x)
+    np.testing.assert_allclose(x_bsg, x_ell, rtol=1e-3, atol=1e-3)
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((A.data, A.indices, A.indptr), shape=A.shape)
+    relres = np.linalg.norm(S @ x_bsg.astype(np.float64) - b_host) / np.linalg.norm(b_host)
+    assert relres < 1e-5
