@@ -276,6 +276,10 @@ def sharded_cg_solve(
     have_amg = block_amg is not None
     have_coarse = coarse_inv is not None
 
+    # make_block is invoked inside the traced SPMD body with `op` bound as
+    # self — it must ONLY touch the `blk` leaves (touching op's device
+    # arrays would embed them as jit constants, the platform pathology
+    # documented in solvers/cg.py).
     make_block = type(op).make_block
 
     def body(leaves, b_blk, x_blk, *rest):
