@@ -27,7 +27,7 @@ from ..io.mesh import MeshModel
 from ..ops.csr import coo_to_csr
 from .heat import HeatSystem
 
-__all__ = ["elevate_to_q2", "assemble_poisson_q2"]
+__all__ = ["elevate_to_q2", "assemble_poisson_q2", "vertex_solution"]
 
 # HEX8 vertex reference signs (Exodus order: bottom quad CCW, then top).
 _V = np.array(
@@ -261,3 +261,29 @@ def assemble_poisson_q2(
         degree=K_ff.diagonal(),
         mesh=None,  # Q2 DOFs outnumber mesh nodes; carry coords separately
     )
+
+
+def vertex_solution(
+    mesh: MeshModel,
+    system: HeatSystem,
+    u_free: np.ndarray,
+    dirichlet: Callable[[np.ndarray], np.ndarray],
+    coords_elevated: np.ndarray,
+) -> np.ndarray:
+    """Project an elevated solution back to the mesh VERTICES.
+
+    Returns a ``(mesh.num_nodes,)`` nodal field combining free-DOF values
+    and the Dirichlet trace — the field the Exodus solution writer accepts
+    against the ORIGINAL mesh, so quadratic solves plug into the same
+    visualization pipeline as P1 (the reference's animation workload,
+    ``BelosMueLuSolver.cpp:112-133``).  Vertex DOFs occupy ids
+    ``[0, mesh.num_nodes)`` of the elevated numbering, so this is a pure
+    selection plus boundary fill."""
+    n = mesh.num_nodes
+    full = np.zeros(coords_elevated.shape[0])
+    full[system.free_to_node] = np.asarray(u_free)
+    bmask = np.ones(coords_elevated.shape[0], dtype=bool)
+    bmask[system.free_to_node] = False
+    if bmask.any():
+        full[bmask] = np.asarray(dirichlet(coords_elevated[bmask]))
+    return full[:n]

@@ -121,3 +121,30 @@ def test_q2_system_solves_with_cg():
     assert bool(res.converged)
     x = np.asarray(res.x)[: sy.n_free]
     np.testing.assert_allclose(x, u(coords[sy.free_to_node]), atol=1e-9)
+
+
+def test_vertex_solution_roundtrip(tmp_path):
+    """Quadratic solves write through the standard Exodus pipeline via the
+    vertex projection."""
+    from domain_decomposed_pde_solver_tpu.io import (
+        ExodusSolutionWriter,
+        read_nodal_vars,
+    )
+    from domain_decomposed_pde_solver_tpu.models.q2 import vertex_solution
+
+    mesh = box_mesh(3, 3, 3, elem_type="HEX8")
+    coords, conn, bnd = elevate_to_q2(mesh)
+    u = lambda c: c[:, 0] ** 2 - 0.5 * c[:, 2] ** 2
+    sy = assemble_poisson_q2(
+        mesh, dirichlet=u, f=lambda c: np.full(c.shape[0], -1.0)
+    )
+    x = _solve(sy)
+    field = vertex_solution(mesh, sy, x, u, coords)
+    assert field.shape == (mesh.num_nodes,)
+    path = str(tmp_path / "q2.exo")
+    w = ExodusSolutionWriter(path, mesh)
+    # A full nodal field is "free values" over the identity map.
+    w.write_solution(field, np.arange(mesh.num_nodes), 1)
+    w.close()
+    names, times, vals = read_nodal_vars(path)
+    np.testing.assert_allclose(vals[-1][0], field, rtol=1e-6)
