@@ -357,8 +357,10 @@ def sharded_cg_chunk(
     have_M = precond_diag is not None
     have_state = state is not None
 
-    def body(cols, vals, send_idx, b_blk, x_blk, *rest):
-        blk = BlockOperator(cols[0], vals[0], send_idx[0])
+    make_block = type(op).make_block
+
+    def body(leaves, b_blk, x_blk, *rest):
+        blk = make_block(op, jax.tree_util.tree_map(lambda a: a[0], leaves))
         rest = list(rest)
         M = None
         if have_M:
@@ -391,7 +393,7 @@ def sharded_cg_chunk(
     if have_state:
         r_s, p_s, rz_s = state
         vectors += [r_s, p_s, rz_s]
-    n_args = 3 + len(vectors)
+    n_args = 1 + len(vectors)
     if have_state:
         # Last arg (rz) is a replicated scalar, not sharded.
         in_specs = (P(AXIS),) * (n_args - 1) + (P(),)
@@ -404,9 +406,7 @@ def sharded_cg_chunk(
         out_specs=(P(AXIS), P(), P(), P(), P(AXIS), P(AXIS), P()),
         check_vma=False,
     )
-    x2, iters, relres, conv, r2, p2, rz2 = fn(
-        op.cols, op.vals, op.send_idx, *vectors
-    )
+    x2, iters, relres, conv, r2, p2, rz2 = fn(op.block_leaves(), *vectors)
     return (
         CGResult(x=x2, iterations=iters, relres=relres, converged=conv),
         (r2, p2, rz2),
@@ -424,12 +424,13 @@ def sharded_gmres_solve(
     maxiter: int = 300,
 ) -> GMRESResult:
     have_M = precond_diag is not None
+    make_block = type(op).make_block
 
-    def body(cols, vals, send_idx, b_blk, x_blk, *rest):
-        op = BlockOperator(cols[0], vals[0], send_idx[0])
+    def body(leaves, b_blk, x_blk, *rest):
+        blk = make_block(op, jax.tree_util.tree_map(lambda a: a[0], leaves))
         M = DiagonalPreconditioner(rest[0][0]) if have_M else None
         res = gmres_solve(
-            op, b_blk[0], x_blk[0], precond=M, restart=restart, tol=tol,
+            blk, b_blk[0], x_blk[0], precond=M, restart=restart, tol=tol,
             maxiter=maxiter, dot=_psum_dot,
         )
         return res.x[None], res.iterations, res.relres, res.converged
@@ -438,11 +439,11 @@ def sharded_gmres_solve(
     fn = jax.shard_map(
         body,
         mesh=op.mesh,
-        in_specs=(P(AXIS),) * (3 + len(vectors)),
+        in_specs=(P(AXIS),) * (1 + len(vectors)),
         out_specs=(P(AXIS), P(), P(), P()),
         check_vma=False,
     )
-    x, iters, relres, conv = fn(op.cols, op.vals, op.send_idx, *vectors)
+    x, iters, relres, conv = fn(op.block_leaves(), *vectors)
     return GMRESResult(x=x, iterations=iters, relres=relres, converged=conv)
 
 
