@@ -458,10 +458,12 @@ def sharded_power_method(
     """Distributed power method — parity with ``ExodusMatrixTest`` run under
     ``mpirun`` (``ExodusMatrixTest.cpp:131-171``)."""
 
-    def body(cols, vals, send_idx, z_blk):
-        op = BlockOperator(cols[0], vals[0], send_idx[0])
+    make_block = type(op).make_block
+
+    def body(leaves, z_blk):
+        blk = make_block(op, jax.tree_util.tree_map(lambda a: a[0], leaves))
         res = power_method(
-            op, z_blk[0], maxiter=maxiter, tol=tol, check_every=check_every,
+            blk, z_blk[0], maxiter=maxiter, tol=tol, check_every=check_every,
             dot=_psum_dot,
         )
         return (
@@ -475,11 +477,11 @@ def sharded_power_method(
     fn = jax.shard_map(
         body,
         mesh=op.mesh,
-        in_specs=(P(AXIS),) * 4,
+        in_specs=(P(AXIS),) * 2,
         out_specs=(P(), P(AXIS), P(), P(), P()),
         check_vma=False,
     )
-    lam, vec, iters, res, conv = fn(op.cols, op.vals, op.send_idx, z0)
+    lam, vec, iters, res, conv = fn(op.block_leaves(), z0)
     return PowerResult(
         eigenvalue=lam, eigenvector=vec, iterations=iters, residual=res,
         converged=conv,
