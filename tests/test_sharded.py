@@ -275,3 +275,53 @@ def test_bsg_sharded_matches_ell_sharded():
     S = sp.csr_matrix((A.data, A.indices, A.indptr), shape=A.shape)
     relres = np.linalg.norm(S @ x_bsg.astype(np.float64) - b_host) / np.linalg.norm(b_host)
     assert relres < 1e-5
+
+
+def test_bsg_sharded_chunked_state_threading():
+    """The snapshot (chunked) CG path works over the BSG sharded operator
+    and matches a continuous solve."""
+    import pathlib
+
+    import jax
+
+    from domain_decomposed_pde_solver_tpu.parallel import sharded_cg_chunk
+    from domain_decomposed_pde_solver_tpu.parallel.sharded import (
+        BSGShardedOperator,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    mesh = read_exodus(pathlib.Path("/root/reference/data") / "brick.exo")
+    system = assemble_heat_system(mesh)
+    A = system.A
+    rows = np.repeat(np.arange(A.n_rows), A.row_lengths())
+    off = rows != A.indices
+    adj = coo_to_csr(
+        rows[off], A.indices[off], np.ones(int(off.sum())), A.shape,
+        sum_dups=False,
+    )
+    parts = partition_graph(adj, 4)
+    plan = build_halo_plan(A, parts, 4, dtype=np.float32)
+    op = BSGShardedOperator.from_plan(plan, make_device_mesh(4))
+    b_host = (system.b / np.abs(system.b).max()).astype(np.float32)
+    deg = np.where(system.degree > 0, system.degree, 1.0)
+    b = op.put_vector(b_host)
+    inv_d = op.put_vector(1.0 / deg)
+    x = op.put_vector(np.zeros_like(b_host))
+    state = None
+    total = 0
+    for _ in range(20):
+        res, state = sharded_cg_chunk(
+            op, b, x, state, precond_diag=inv_d, tol=1e-6, maxiter=10,
+        )
+        x = res.x
+        total += int(res.iterations)
+        if bool(res.converged):
+            break
+    assert bool(res.converged)
+    x_host = op.get_vector(x)
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((A.data, A.indices, A.indptr), shape=A.shape)
+    relres = np.linalg.norm(S @ x_host.astype(np.float64) - b_host) / np.linalg.norm(b_host)
+    assert relres < 1e-5
