@@ -381,9 +381,12 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
     op = op_cls.from_plan(plan, make_device_mesh(cfg.partitions))
     b = op.put_vector(system.b)
     x0 = op.put_vector(x0_host)
-    # Honor --precond: none disables preconditioning; amg uses block-Schwarz
-    # (communication-free local V-cycles per device).
+    # Honor --precond.  For amg + CG the default is the sharded GLOBAL
+    # hierarchy (parallel/haloamg.py — P-independent iteration counts);
+    # block-Schwarz (communication-free local V-cycles) remains the
+    # fallback if the global build fails.
     block_amg = None
+    halo_amg = None
     if cfg.precond == "none":
         inv_d = None
     else:
@@ -394,15 +397,42 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
         if cfg.precond == "amg":
             if cfg.solver == "gmres":
                 print(
-                    "warning: distributed block-AMG is CG-only; "
+                    "warning: distributed AMG is CG-only; "
                     "using Jacobi for the multi-device GMRES solve"
                 )
             else:
-                from ..parallel.schwarz import build_block_amg
+                from ..parallel.haloamg import build_halo_amg
 
-                block_amg = build_block_amg(A, plan, dtype=np.dtype(dtype))
-                if block_amg is None:
-                    print("warning: block-AMG build failed; using Jacobi")
+                halo_amg = build_halo_amg(A, plan, dtype=np.dtype(dtype))
+                if halo_amg is None:
+                    from ..parallel.schwarz import build_block_amg
+
+                    block_amg = build_block_amg(A, plan, dtype=np.dtype(dtype))
+                    if block_amg is None:
+                        print("warning: AMG build failed; using Jacobi")
+    if halo_amg is not None and snapshot_cb is None:
+        from ..parallel.haloamg import halo_amg_cg_solve
+
+        x_host, result = halo_amg_cg_solve(
+            op, halo_amg, system.b.astype(np.dtype(dtype)),
+            x0_host.astype(np.dtype(dtype)),
+            tol=cfg.tolerance, maxiter=cfg.iterations,
+        )
+        return result, x_host
+    if halo_amg is not None:
+        from ..parallel.haloamg import halo_amg_cg_solve
+
+        print(
+            "note: per-chunk snapshots are not yet supported with the "
+            "sharded global AMG; writing only the final state"
+        )
+        x_host, result = halo_amg_cg_solve(
+            op, halo_amg, system.b.astype(np.dtype(dtype)),
+            x0_host.astype(np.dtype(dtype)),
+            tol=cfg.tolerance, maxiter=cfg.iterations,
+        )
+        snapshot_cb(int(result.iterations), x_host)
+        return result, x_host
     if cfg.solver == "gmres":
         result = sharded_gmres_solve(
             op, b, x0, precond_diag=inv_d, restart=cfg.restart,

@@ -22,6 +22,7 @@ from .slab import (
     slab_cg_solve,
     slab_stencil_cg_solve,
 )
+from .haloamg import HaloAMG, build_halo_amg, halo_amg_cg_solve
 from .slabamg import SlabAMG, build_slab_amg, slab_amg_cg_solve
 from .multihost import (
     initialize_multihost,
@@ -61,6 +62,9 @@ __all__ = [
     "SlabAMG",
     "build_slab_amg",
     "slab_amg_cg_solve",
+    "HaloAMG",
+    "build_halo_amg",
+    "halo_amg_cg_solve",
     "initialize_multihost",
     "multihost_slab_cg_solve",
     "put_global",

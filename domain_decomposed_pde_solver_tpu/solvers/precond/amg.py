@@ -416,6 +416,7 @@ def smoothed_aggregation_setup(
     grid_dims: Optional[Tuple[int, int, int]] = None,
     brick: int = 6,
     fine_operator=None,
+    level_info_out: Optional[list] = None,
 ) -> AMGPreconditioner:
     """Build the SA-AMG hierarchy from the host CSR operator.
 
@@ -544,6 +545,15 @@ def smoothed_aggregation_setup(
         d = A_k.diagonal()
         d = np.where(d != 0, d, 1.0)
         lmax = _lmax_dinv_a_host(A_k)
+        if level_info_out is not None:
+            # Distributed-hierarchy builders (parallel/haloamg.py,
+            # parallel/slabamg.py) consume the raw per-level setup pieces.
+            level_info_out.append(
+                dict(
+                    n=A_k.shape[0], agg=agg.copy(), counts=counts.copy(),
+                    d=d.copy(), lmax=float(lmax), omega=float(omega),
+                )
+            )
         from ...utils.native import rap_galerkin_native, sa_prolongator_native
 
         tval = 1.0 / np.sqrt(counts)
