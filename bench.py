@@ -152,7 +152,7 @@ def measured_stream_gbps(reps=3):
     return 2 * big.size * 4 / dt / 1e9
 
 
-def _init_backend_with_retry(max_tries=12, sleep_s=45):
+def _init_backend_with_retry(max_tries=30, sleep_s=45):
     """Touch the backend early, retrying through tunnel outages.
 
     The axon TPU plugin intermittently fails to initialize for minutes at
