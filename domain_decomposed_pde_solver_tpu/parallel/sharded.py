@@ -126,6 +126,16 @@ class BSGShardedOperator(ShardedOperator):
         nparts, n_local, K = plan.ell_cols.shape
         H = plan.send_idx.shape[2]
         n_ext = n_local + nparts * H
+        # Decide coefficient storage ONCE on the global values: per-part
+        # "auto" could pick bf16 for some parts and f32 for others, giving
+        # the stacked pytree mismatched leaf dtypes (tree_map/stack fails).
+        from ..ops.dia import _bf16_exact
+
+        storage = (
+            "bfloat16"
+            if _bf16_exact(np.asarray(plan.ell_vals).ravel())
+            else "float32"
+        )
         parts = []
         for p in range(nparts):
             cols = np.asarray(plan.ell_cols[p])
@@ -142,7 +152,7 @@ class BSGShardedOperator(ShardedOperator):
                 indptr=indptr, indices=c.astype(np.int64), data=v,
                 shape=(n_ext, n_ext),
             )
-            parts.append(bsg_from_csr(csr, reorder=False))
+            parts.append(bsg_from_csr(csr, reorder=False, storage=storage))
         max_mo = max(b.max_mo for b in parts)
 
         def pad_mo(b):

@@ -298,6 +298,10 @@ def slab_amg_cg_solve(
     dev_mesh = mesh if mesh is not None else make_device_mesh(plan.nparts)
     sh = NamedSharding(dev_mesh, P(AXIS))
     rep = NamedSharding(dev_mesh, P())
+    # Vector/compute dtype of the hierarchy as BUILT (f32 default, f64 when
+    # build_slab_amg(dtype=float64)) — hardcoding f32 here silently
+    # downgraded f64 solves and mixed dtypes with plan.data.
+    vdt = np.asarray(samg.tval).dtype
     use_st = samg.st_meta is not None
     if use_st:
         # Pattern-stencil fine level: corr/mask sharded, patterns replicated.
@@ -310,10 +314,10 @@ def slab_amg_cg_solve(
         mask = jax.device_put(
             np.zeros((plan.nparts, 1), dtype=plan.data.dtype), sh
         )
-        pats = jax.device_put(jnp.zeros((1, 1, 1, 1), jnp.float32), rep)
-        cvals = jax.device_put(jnp.zeros((1,), jnp.float32), rep)
-    b_s = jax.device_put(plan.scatter_vector(b, dtype=np.float32), sh)
-    x0_s = jax.device_put(plan.scatter_vector(x0, dtype=np.float32), sh)
+        pats = jax.device_put(jnp.zeros((1, 1, 1, 1), jnp.dtype(vdt)), rep)
+        cvals = jax.device_put(jnp.zeros((1,), jnp.dtype(vdt)), rep)
+    b_s = jax.device_put(plan.scatter_vector(b, dtype=vdt), sh)
+    x0_s = jax.device_put(plan.scatter_vector(x0, dtype=vdt), sh)
     tval = jax.device_put(samg.tval, sh)
     scale = jax.device_put(samg.scale, sh)
     inv_d = jax.device_put(samg.inv_diag, sh)
@@ -348,7 +352,7 @@ def slab_amg_cg_solve(
             tval=tval_blk[0],
             scale=scale_blk[0],
             inv_diag=invd_blk[0],
-            lmax=jnp.asarray(lmax, jnp.float32),
+            lmax=jnp.asarray(lmax, jnp.dtype(vdt)),
             tail=tail_arg,
             **meta,
         )

@@ -619,7 +619,15 @@ def smoothed_aggregation_setup(
         from ...ops.dia import DIAMatrix
         from ...ops.stencil import StencilOperator
 
-        if fine_bsg and factored_transfers and not use_brick:
+        if fine_bsg:
+            # A BSG fine level lives in the operator's *permuted* vector
+            # space, so the ONLY correct transfers are the
+            # permutation-composed factored ones below — BrickProlongator
+            # and explicit ELL P/R index the identity layout and would
+            # silently mix vector spaces.  Force this path regardless of
+            # ``factored_transfers``/``use_brick`` (the *aggregates* chosen
+            # above — brick or greedy — are in original order either way,
+            # which is exactly what the perm-scatter here expects).
             # Permutation-composed factored transfers for the BSG level:
             # scatter the per-fine-row arrays into the operator's internal
             # row order (padding rows keep tval = 0, so they contribute
