@@ -1,0 +1,112 @@
+"""VMEM-tiled Pallas stencil operator (padded 3-D layout).
+
+Validates, against the proven XLA StencilOperator:
+- layout embed/extract round trips,
+- matvec_reference (same padded space, pure XLA) equals the identity-layout
+  stencil matvec exactly,
+- the Pallas kernel (interpret mode on CPU) equals matvec_reference,
+- diagonal and CG solve behave through the format-agnostic interface.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from domain_decomposed_pde_solver_tpu.io.boxmesh import box_mesh
+from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+from domain_decomposed_pde_solver_tpu.ops import choose_operator
+from domain_decomposed_pde_solver_tpu.ops.pallas.stencil_kernel import (
+    PadStencilOperator,
+    pad_stencil_from_stencil,
+    pad_stencil_spmv,
+)
+from domain_decomposed_pde_solver_tpu.ops.stencil import StencilOperator
+from domain_decomposed_pde_solver_tpu.solvers import cg_solve, jacobi_preconditioner
+from domain_decomposed_pde_solver_tpu.solvers.precond.amg import infer_free_grid
+
+# (box nodes per axis) -> free grids exercising: odd dims, even dims,
+# mx just under/over the 128-lane boundary, thin boxes.
+SHAPES = [(8, 8, 8), (13, 9, 11), (10, 14, 8)]
+BIG_X = (132, 8, 8)  # free mx = 131 -> mxp = 256 (multi-vreg lane rolls)
+
+
+def _build(shape, elem="TETRA4"):
+    mesh = box_mesh(*shape, elem_type=elem)
+    s = assemble_heat_system(mesh)
+    dims = infer_free_grid(mesh, s.free_to_node)
+    assert dims is not None
+    st = choose_operator(s.A, dtype=jnp.float32, grid_dims=dims)
+    assert isinstance(st, StencilOperator), type(st)
+    return s, st, pad_stencil_from_stencil(st, bz=4)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("elem", ["TETRA4", "HEX8"])
+def test_reference_matches_stencil_operator(shape, elem):
+    s, st, A = _build(shape, elem)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(s.n_free).astype(np.float32)
+    y_st = np.asarray(st.matvec(st.put_vector(x)))[: s.n_free]
+    xp = A.put_vector(x)
+    yp = A.matvec_reference(xp)
+    y_pad = A.get_vector(yp)
+    np.testing.assert_array_equal(y_pad, y_st)
+    # pad slots stay exactly zero (the Krylov-space invariant)
+    mask = np.asarray(A.pad_mask())
+    assert not np.any(np.asarray(yp)[mask == 0])
+
+
+@pytest.mark.parametrize("shape", SHAPES + [BIG_X])
+def test_pallas_kernel_matches_reference(shape):
+    s, st, A = _build(shape)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(s.n_free).astype(np.float32)
+    xp = A.put_vector(x)
+    y_ref = np.asarray(A.matvec_reference(xp))
+    y_krn = np.asarray(pad_stencil_spmv(A, xp, interpret=True))
+    np.testing.assert_allclose(y_krn, y_ref, rtol=2e-6, atol=2e-6)
+    mask = np.asarray(A.pad_mask())
+    assert not np.any(y_krn[mask == 0])
+
+
+def test_put_get_roundtrip_and_diagonal():
+    s, st, A = _build((9, 8, 10))
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(s.n_free).astype(np.float32)
+    np.testing.assert_array_equal(A.get_vector(A.put_vector(x)), x)
+    d_pad = np.asarray(A.diagonal_padded(fill=7.0))
+    d_st = np.asarray(st.diagonal_padded(fill=7.0))[: s.n_free]
+    np.testing.assert_allclose(A.get_vector(jnp.asarray(d_pad)), d_st,
+                               rtol=1e-6)
+    mask = np.asarray(A.pad_mask())
+    assert np.all(d_pad[mask == 0] == 7.0)
+
+
+def test_cg_solve_through_pad_stencil():
+    s, st, A = _build((10, 10, 10))
+    b = A.put_vector(s.b.astype(np.float32) / np.abs(s.b).max())
+    M = jacobi_preconditioner(A)
+    res = cg_solve(A, b, jnp.zeros_like(b), precond=M, tol=1e-6, maxiter=300)
+    assert bool(res.converged)
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((s.A.data, s.A.indices, s.A.indptr), shape=s.A.shape)
+    x = A.get_vector(res.x).astype(np.float64)
+    bb = s.b / np.abs(s.b).max()
+    relres = np.linalg.norm(S @ x - bb) / np.linalg.norm(bb)
+    assert relres < 1e-5
+    # Same iteration count as the identity-layout stencil operator.
+    bs = st.put_vector((s.b / np.abs(s.b).max()).astype(np.float32))
+    r2 = cg_solve(st, bs, jnp.zeros_like(bs),
+                  precond=jacobi_preconditioner(st), tol=1e-6, maxiter=300)
+    assert abs(int(res.iterations) - int(r2.iterations)) <= 1
+
+
+def test_corr_storage_bf16_exact_only():
+    _, _, A = _build((8, 8, 8))
+    # Heat-Laplacian corrections are small integers -> bf16-exact storage.
+    assert A.corr.dtype == jnp.bfloat16
+    st2 = _build((8, 8, 8))[1]
+    A2 = pad_stencil_from_stencil(st2, corr_storage="float32")
+    assert A2.corr.dtype == jnp.float32
