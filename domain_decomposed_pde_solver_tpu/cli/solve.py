@@ -144,7 +144,11 @@ def main(argv=None) -> int:
                 else None
             )
             A = choose_operator(
-                system.A, dtype=dtype, bsg=bsg_mode, grid_dims=op_dims
+                system.A, dtype=dtype, bsg=bsg_mode, grid_dims=op_dims,
+                # The padded-3-D Pallas stencil form has the same
+                # operator-owns-its-space contract as BSG, so it shares
+                # the preconditioner gate.
+                pad_stencil=bsg_mode,
             )
             if cfg.verbose:
                 print(f"operator format: {type(A).__name__}")
@@ -289,6 +293,7 @@ def _make_precond(cfg, A, system):
         return ilut_preconditioner(system.A, n_pad=A.n_pad, dtype=A.dtype)
     if cfg.precond == "amg":
         from ..ops.bsg import BSGMatrix
+        from ..ops.pallas.stencil_kernel import PadStencilOperator
         from ..solvers.precond.amg import infer_free_grid
 
         # Structured meshes get gather-free brick transfers (see
@@ -302,10 +307,12 @@ def _make_precond(cfg, A, system):
             system.A,
             dtype=A.dtype,
             grid_dims=dims,
-            # Unstructured on TPU: the outer operator is BSG; build the
-            # fine level in its (permuted) space so smoothing rides the
-            # shuffle-gather kernel (100x+ over SplitELL matvecs).
-            fine_operator=A if isinstance(A, BSGMatrix) else None,
+            # Operators that own their vector space (BSG permuted /
+            # PadStencil embedded): build the fine level in that space so
+            # smoothing rides the fast Pallas kernel.
+            fine_operator=(
+                A if isinstance(A, (BSGMatrix, PadStencilOperator)) else None
+            ),
         )
     raise ValueError(cfg.precond)
 

@@ -161,6 +161,23 @@ class PadStencilOperator:
         mx, my, mz = self.dims
         return self.embed_device(jnp.ones(mx * my * mz, jnp.float32))
 
+    def space_map(self) -> np.ndarray:
+        """Internal slot index per logical (lexicographic) DOF.
+
+        The uniform "operator owns its vector space" protocol (same role
+        as ``BSGMatrix.perm``): consumers that build per-row auxiliary
+        arrays (AMG transfers, Jacobi diagonals) scatter them with
+        ``arr_pad[space_map()] = arr`` so they land in this operator's
+        padded 3-D layout.
+        """
+        mx, my, mz = self.dims
+        iz, iy, ix = np.meshgrid(
+            np.arange(mz), np.arange(my), np.arange(mx), indexing="ij"
+        )
+        return (
+            ((iz + 1) * self.myp + iy + 1) * self.mxp + ix
+        ).reshape(-1)
+
     def diagonal_padded(self, fill: float = 1.0) -> jax.Array:
         mx, my, mz = self.dims
         p = self.period

@@ -453,15 +453,20 @@ def smoothed_aggregation_setup(
     A_k = _to_scipy(A)
     from ...ops.bsg import BSGMatrix
 
-    # ``fine_operator``: a prebuilt level-0 operator (notably a permuted
-    # BSG unstructured operator, 100x+ faster smoothing matvecs than
-    # SplitELL on TPU).  The whole V-cycle's fine level then lives in the
-    # operator's internal (permuted, padded) vector space: the factored
-    # transfer arrays are permuted at build so restriction lands in the
-    # identity-layout coarse space and prolongation back — zero extra
-    # gathers at apply time.  The caller's CG must use the SAME operator.
+    # ``fine_operator``: a prebuilt level-0 operator that owns a
+    # non-identity internal vector space — a permuted BSG unstructured
+    # operator (100x+ faster smoothing matvecs than SplitELL on TPU) or a
+    # padded-3-D Pallas lattice-stencil operator (single-pass-over-x
+    # structured SpMV).  The whole V-cycle's fine level then lives in the
+    # operator's internal (permuted/embedded, padded) vector space: the
+    # factored transfer arrays are scattered through the operator's
+    # ``space_map`` at build so restriction lands in the identity-layout
+    # coarse space and prolongation back — zero extra gathers at apply
+    # time.  The caller's CG must use the SAME operator.
+    from ...ops.pallas.stencil_kernel import PadStencilOperator
+
     use_fine_op = fine_operator is not None and isinstance(
-        fine_operator, BSGMatrix
+        fine_operator, (BSGMatrix, PadStencilOperator)
     )
     n_pads = [
         fine_operator.n_pad if use_fine_op else pad_to(max(A.n_rows, 1))
@@ -620,25 +625,28 @@ def smoothed_aggregation_setup(
         from ...ops.stencil import StencilOperator
 
         if fine_bsg:
-            # A BSG fine level lives in the operator's *permuted* vector
-            # space, so the ONLY correct transfers are the
-            # permutation-composed factored ones below — BrickProlongator
-            # and explicit ELL P/R index the identity layout and would
-            # silently mix vector spaces.  Force this path regardless of
-            # ``factored_transfers``/``use_brick`` (the *aggregates* chosen
-            # above — brick or greedy — are in original order either way,
-            # which is exactly what the perm-scatter here expects).
-            # Permutation-composed factored transfers for the BSG level:
-            # scatter the per-fine-row arrays into the operator's internal
-            # row order (padding rows keep tval = 0, so they contribute
-            # nothing through the segment_sum restriction and read
-            # don't-care values harmlessly through the gather).
+            # A BSG/PadStencil fine level lives in the operator's own
+            # (permuted/embedded) vector space, so the ONLY correct
+            # transfers are the space-map-composed factored ones below —
+            # BrickProlongator and explicit ELL P/R index the identity
+            # layout and would silently mix vector spaces.  Force this
+            # path regardless of ``factored_transfers``/``use_brick`` (the
+            # *aggregates* chosen above — brick or greedy — are in original
+            # order either way, which is exactly what the scatter here
+            # expects).  Scatter the per-fine-row arrays into the
+            # operator's internal row order (padding rows keep tval = 0,
+            # so they contribute nothing through the segment_sum
+            # restriction and read don't-care values harmlessly through
+            # the gather).
             n_f = A_k.shape[0]
-            perm = (
-                np.asarray(fine_operator.perm)
-                if fine_operator.perm is not None
-                else np.arange(n_f)
-            )
+            if isinstance(fine_operator, PadStencilOperator):
+                perm = fine_operator.space_map()
+            else:
+                perm = (
+                    np.asarray(fine_operator.perm)
+                    if fine_operator.perm is not None
+                    else np.arange(n_f)
+                )
             tval_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
             tval_pad[perm] = 1.0 / np.sqrt(counts[agg])
             scale_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))

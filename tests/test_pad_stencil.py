@@ -20,7 +20,7 @@ from domain_decomposed_pde_solver_tpu.ops.pallas.stencil_kernel import (
     PadStencilOperator,
     pad_stencil_from_stencil,
     pad_stencil_spmv,
-)
+)  # noqa: F401
 from domain_decomposed_pde_solver_tpu.ops.stencil import StencilOperator
 from domain_decomposed_pde_solver_tpu.solvers import cg_solve, jacobi_preconditioner
 from domain_decomposed_pde_solver_tpu.solvers.precond.amg import infer_free_grid
@@ -101,6 +101,78 @@ def test_cg_solve_through_pad_stencil():
     r2 = cg_solve(st, bs, jnp.zeros_like(bs),
                   precond=jacobi_preconditioner(st), tol=1e-6, maxiter=300)
     assert abs(int(res.iterations) - int(r2.iterations)) <= 1
+
+
+def test_choose_operator_pad_stencil_gate():
+    mesh = box_mesh(8, 8, 8, elem_type="TETRA4")
+    s = assemble_heat_system(mesh)
+    dims = infer_free_grid(mesh, s.free_to_node)
+    # "never" (default) keeps the identity-layout stencil on CPU...
+    st = choose_operator(s.A, dtype=jnp.float32, grid_dims=dims)
+    assert isinstance(st, StencilOperator)
+    # ..."always" forces the padded-3-D Pallas form.
+    A = choose_operator(
+        s.A, dtype=jnp.float32, grid_dims=dims, pad_stencil="always"
+    )
+    assert isinstance(A, PadStencilOperator)
+    # "auto" only fires on TPU; under the CPU conftest it stays identity.
+    st2 = choose_operator(
+        s.A, dtype=jnp.float32, grid_dims=dims, pad_stencil="auto"
+    )
+    assert isinstance(st2, StencilOperator)
+
+
+def test_space_map_matches_put_vector():
+    _, _, A = _build((9, 11, 8))
+    n = A.n_rows
+    x = np.arange(1.0, n + 1, dtype=np.float32)
+    xp = np.asarray(A.put_vector(x))
+    sm = A.space_map()
+    assert sm.shape == (n,)
+    np.testing.assert_array_equal(xp[sm], x)
+    mask = np.ones(A.n_pad, bool)
+    mask[sm] = False
+    assert not np.any(xp[mask])
+
+
+def test_amg_through_pad_stencil_matches_identity_layout():
+    """SA-AMG with the PadStencil fine operator: same iteration count and
+    accuracy as the identity-layout stencil hierarchy (the space-map
+    factored-transfer composition)."""
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import (
+        smoothed_aggregation_setup,
+    )
+
+    mesh = box_mesh(14, 14, 14, elem_type="TETRA4")
+    s = assemble_heat_system(mesh)
+    dims = infer_free_grid(mesh, s.free_to_node)
+    st = choose_operator(s.A, dtype=jnp.float32, grid_dims=dims)
+    A = pad_stencil_from_stencil(st, bz=4)
+    bhost = (s.b / np.abs(s.b).max()).astype(np.float32)
+
+    M_id = smoothed_aggregation_setup(s.A, dtype=jnp.float32, grid_dims=dims)
+    r_id = cg_solve(
+        st, st.put_vector(bhost), jnp.zeros(st.n_pad, jnp.float32),
+        precond=M_id, tol=1e-6, maxiter=100,
+    )
+    M_pad = smoothed_aggregation_setup(
+        s.A, dtype=jnp.float32, grid_dims=dims, fine_operator=A
+    )
+    r_pad = cg_solve(
+        A, A.put_vector(bhost), jnp.zeros(A.n_pad, jnp.float32),
+        precond=M_pad, tol=1e-6, maxiter=100,
+    )
+    assert bool(r_pad.converged)
+    assert int(r_pad.iterations) == int(r_id.iterations)
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((s.A.data, s.A.indices, s.A.indptr), shape=s.A.shape)
+    x = A.get_vector(r_pad.x).astype(np.float64)
+    relres = np.linalg.norm(S @ x - bhost) / np.linalg.norm(bhost)
+    assert relres < 1e-5
+    # pad-slot invariant survives the whole preconditioned solve
+    mask = np.asarray(A.pad_mask())
+    assert not np.any(np.asarray(r_pad.x)[mask == 0])
 
 
 def test_corr_storage_bf16_exact_only():
