@@ -227,7 +227,7 @@ def halo_amg_cg_solve(
         mesh=op.mesh,
         in_specs=(P(AXIS),) * 7 + (P(),),
         out_specs=(P(AXIS), P(), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
     x_s, iters, relres, conv = fn(
         op.block_leaves(), b, x0, agg, tval, scale, inv_d, tail

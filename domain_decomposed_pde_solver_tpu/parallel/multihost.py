@@ -162,7 +162,7 @@ def multihost_slab_cg_solve(
         mesh=dev_mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
     x_s, iters, relres, conv = fn(data, b_s, x0_s)
     from jax.experimental import multihost_utils

@@ -340,7 +340,7 @@ def sharded_cg_solve(
         mesh=op.mesh,
         in_specs=(P(AXIS),) * n_sharded + coarse_specs,
         out_specs=(P(AXIS), P(), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
     x, iters, relres, conv = fn(op.block_leaves(), *vectors)
     return CGResult(x=x, iterations=iters, relres=relres, converged=conv)
@@ -414,7 +414,7 @@ def sharded_cg_chunk(
         mesh=op.mesh,
         in_specs=in_specs,
         out_specs=(P(AXIS), P(), P(), P(), P(AXIS), P(AXIS), P()),
-        check_vma=False,
+        check_vma=True,
     )
     x2, iters, relres, conv, r2, p2, rz2 = fn(op.block_leaves(), *vectors)
     return (
@@ -451,7 +451,7 @@ def sharded_gmres_solve(
         mesh=op.mesh,
         in_specs=(P(AXIS),) * (1 + len(vectors)),
         out_specs=(P(AXIS), P(), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
     x, iters, relres, conv = fn(op.block_leaves(), *vectors)
     return GMRESResult(x=x, iterations=iters, relres=relres, converged=conv)
@@ -489,7 +489,7 @@ def sharded_power_method(
         mesh=op.mesh,
         in_specs=(P(AXIS),) * 2,
         out_specs=(P(), P(AXIS), P(), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
     lam, vec, iters, res, conv = fn(op.block_leaves(), z0)
     return PowerResult(

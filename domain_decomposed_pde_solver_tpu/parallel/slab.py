@@ -286,7 +286,7 @@ def slab_stencil_cg_solve(
         mesh=dev_mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
         out_specs=(P(AXIS), P(), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
     x_s, iters, relres, conv = fn(
         corr_s, mask_s, b_s, x0_s, invd_s, pats, cvals
@@ -355,7 +355,7 @@ def slab_cg_solve(
         mesh=dev_mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
     x_s, iters, relres, conv = fn(data, b_s, x0_s, ci, idg)
     return plan.gather_vector(np.asarray(x_s)), CGResult(

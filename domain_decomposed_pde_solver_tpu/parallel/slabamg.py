@@ -370,7 +370,7 @@ def slab_amg_cg_solve(
             P(), P(), P(),
         ),
         out_specs=(P(AXIS), P(), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
     x_s, iters, relres, conv = fn(
         data, mask, b_s, x0_s, tval, scale, inv_d, pats, cvals, tail
