@@ -32,6 +32,7 @@ from .mesh import ElemBlock, MeshModel, NodeSet, SideSet
 __all__ = [
     "MeshSlice",
     "read_exodus_partial",
+    "read_exodus_node_data",
     "read_exodus",
     "write_exodus",
     "ExodusSolutionWriter",
@@ -187,6 +188,55 @@ def read_exodus_partial(path: str, part: int, nparts: int) -> MeshSlice:
             num_nodes_global=num_nodes,
             num_elem_global=num_elem,
         )
+    finally:
+        try:
+            nc.close()
+        except Exception:
+            pass
+
+
+def read_exodus_node_data(path: str):
+    """Read only the O(N) node-level data: ``(num_nodes, coords, node_sets)``.
+
+    The per-host companion of :func:`read_exodus_partial` for distributed
+    assembly: every host needs the coordinates (to compute the same
+    deterministic RCB node partition with zero communication) and the
+    nodesets (Dirichlet classification), but never the O(E) connectivity
+    outside its own slice.  The reference accepts the same O(N)-per-rank
+    node metadata cost (its author flags it at ``ExodusIO.hpp:155``).
+    """
+    nc = _open_nc(path)
+    try:
+        dims = nc.dimensions
+        num_nodes = int(dims["num_nodes"])
+        num_dim = int(dims["num_dim"])
+        if "coord" in nc.variables:
+            coords = np.array(nc.variables["coord"].data, dtype=np.float64).T
+        else:
+            axes = []
+            for ax in ("coordx", "coordy", "coordz")[:num_dim]:
+                arr = _get(nc, ax)
+                axes.append(
+                    np.zeros(num_nodes) if arr is None else arr.astype(np.float64)
+                )
+            coords = np.stack(axes, axis=1) if axes else np.zeros((num_nodes, 0))
+        num_ns = int(dims.get("num_node_sets", 0) or 0)
+        ns_ids = _get(nc, "ns_prop1")
+        ns_ids = (
+            ns_ids.astype(np.int64)
+            if ns_ids is not None
+            else np.arange(1, num_ns + 1)
+        )
+        node_sets: List[NodeSet] = []
+        for i in range(num_ns):
+            nodes = _get(nc, f"node_ns{i + 1}")
+            nodes = (
+                nodes.astype(np.int64) - 1
+                if nodes is not None
+                else np.zeros(0, np.int64)
+            )
+            node_sets.append(NodeSet(id=int(ns_ids[i]), nodes=nodes, name=""))
+        return num_nodes, coords, node_sets
     finally:
         try:
             nc.close()

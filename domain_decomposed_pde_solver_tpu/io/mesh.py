@@ -26,7 +26,27 @@ __all__ = [
     "MeshModel",
     "ELEM_TYPE_NUM_COMMON_NODES",
     "elem_type_ncommon",
+    "boundary_value_from_sets",
 ]
+
+
+def boundary_value_from_sets(num_nodes: int, node_sets):
+    """``(is_boundary, bval)`` from a nodeset list (see
+    :meth:`MeshModel.boundary_value_per_node` for the tie-break
+    semantics).  A free function so distributed assembly can classify
+    nodes from :func:`..io.exodus.read_exodus_node_data` output without a
+    full :class:`MeshModel`."""
+    import numpy as np
+
+    is_boundary = np.zeros(num_nodes, dtype=bool)
+    bval = np.zeros(num_nodes, dtype=np.float64)
+    for ns in sorted(node_sets, key=lambda s: s.id, reverse=True):
+        nodes = ns.nodes.astype(np.int64)
+        is_boundary[nodes] = True
+        # Iterating in descending id order and overwriting leaves the
+        # smallest id in bval for nodes that sit in multiple sets.
+        bval[nodes] = float(ns.id)
+    return is_boundary, bval
 
 # ncommonnodes for the dual graph, per element family — mirrors the mapping
 # the reference feeds ParMETIS/METIS (``ExodusIO.hpp:909-918, :1603-1613``):
@@ -148,16 +168,7 @@ class MeshModel:
         contains it, because the reference iterates ``std::map`` in ascending
         key order and breaks at the first hit (``ExodusIO.hpp:675-682``).
         """
-        n = self.num_nodes
-        is_boundary = np.zeros(n, dtype=bool)
-        bval = np.zeros(n, dtype=np.float64)
-        for ns in sorted(self.node_sets, key=lambda s: s.id, reverse=True):
-            nodes = ns.nodes.astype(np.int64)
-            is_boundary[nodes] = True
-            # Iterating in descending id order and overwriting leaves the
-            # smallest id in bval for nodes that sit in multiple sets.
-            bval[nodes] = float(ns.id)
-        return is_boundary, bval
+        return boundary_value_from_sets(self.num_nodes, self.node_sets)
 
     def boundary_write_values(self) -> np.ndarray:
         """Per-node values for solution timestep 0 (boundary snapshot).

@@ -34,7 +34,12 @@ import numpy as np
 from ..io.mesh import MeshModel
 from ..ops.csr import CSRMatrix, coo_to_csr
 
-__all__ = ["HeatSystem", "assemble_heat_system", "unique_element_edges"]
+__all__ = [
+    "HeatSystem",
+    "assemble_heat_system",
+    "unique_element_edges",
+    "edges_from_blocks",
+]
 
 
 @dataclasses.dataclass
@@ -74,14 +79,24 @@ def unique_element_edges(mesh: MeshModel):
     strided column views is ~50x slower at 10M+ edges).  Uses the native C++
     kernel (``native/ddps_native.cpp::node_adjacency``) when available.
     """
-    n = mesh.num_nodes
+    return edges_from_blocks(mesh.blocks, mesh.num_nodes)
+
+
+def edges_from_blocks(mesh_blocks, n: int):
+    """:func:`unique_element_edges` over an explicit block list.
+
+    Factored out so the distributed-assembly path
+    (:mod:`..parallel.distassembly`) can run the same edge extraction on a
+    per-host element *slice* (``io.exodus.MeshSlice.blocks``) — the
+    adjacency scan of the reference's element path run on each rank's
+    block distribution (``ExodusIO.hpp:1111-1119``)."""
     from ..utils.native import node_adjacency_native
 
-    if mesh.blocks:
+    if mesh_blocks:
         # Native path: group blocks by nodes-per-elem (the C++ kernel takes a
         # uniform-width conn array), dedup across groups with one np.unique.
         by_npe = {}
-        for b in mesh.blocks:
+        for b in mesh_blocks:
             by_npe.setdefault(b.nodes_per_elem, []).append(b.conn)
         results = []
         ok = True
@@ -111,7 +126,7 @@ def unique_element_edges(mesh: MeshModel):
                 np.ascontiguousarray(keys % n),
             )
     chunks = []
-    for blk in mesh.blocks:
+    for blk in mesh_blocks:
         conn = blk.conn.astype(np.int64)
         npe = conn.shape[1]
         if npe < 2 or conn.shape[0] == 0:
