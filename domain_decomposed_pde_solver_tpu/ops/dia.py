@@ -310,6 +310,12 @@ def operator_bytes(A) -> int:
         # x + y + corr — the patterns broadcast from registers.
         vb = A.dtype.itemsize
         return 3 * A.n_pad * vb
+    from .pallas.stencil_kernel import PadStencilOperator
+
+    if isinstance(A, PadStencilOperator):
+        # x + y (f32) + corr (possibly bf16) in the padded 3-D space —
+        # the patterns broadcast from VMEM-resident planes.
+        return 2 * A.n_pad * 4 + A.n_pad * A.corr.dtype.itemsize
     from .bsg import BSGMatrix
 
     if isinstance(A, BSGMatrix):

@@ -39,6 +39,7 @@ __all__ = [
     "aggregate_greedy",
     "infer_free_grid",
     "BrickProlongator",
+    "PadBrickProlongator",
     "brick_aggregate",
 ]
 
@@ -271,6 +272,83 @@ class BrickProlongator:
         ncx, ncy, ncz = self.coarse_dims
         b = self.brick
         tw = (self.tval * w)[: mx * my * mz].reshape(mz, my, mx)
+        tw = jnp.pad(
+            tw,
+            ((0, ncz * b - mz), (0, ncy * b - my), (0, ncx * b - mx)),
+        )
+        c = tw.reshape(ncz, b, ncy, b, ncx, b).sum(axis=(1, 3, 5))
+        flat = c.reshape(-1)
+        return jnp.pad(flat, (0, self.n_pad_c - ncx * ncy * ncz))
+
+    def matvec(self, x_c: jax.Array) -> jax.Array:
+        t = self._t_apply(x_c)
+        return t - self.scale * self.A.matvec(t)
+
+    def rmatvec(self, r: jax.Array) -> jax.Array:
+        s = r - self.A.matvec(self.scale * r)
+        return self._t_transpose(s)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["tval", "scale", "A"],
+    meta_fields=["dims", "brick", "n_pad_c"],
+)
+@dataclasses.dataclass
+class PadBrickProlongator:
+    """Gather-free factored prolongator in a PadStencilOperator's space.
+
+    Same algebra as :class:`BrickProlongator` (brick tentative transfer,
+    smoothed in factored form), but the fine level lives in the operator's
+    padded 3-D layout ``(Z, myp, mxp)`` with the grid interior at
+    ``[1:mz+1, 1:my+1, :mx]``.  ``tval``/``scale`` are stored in that
+    space (scattered through ``A.space_map()`` at build); the tentative
+    transfer embeds/extracts the interior with *static* pads/slices, so
+    the whole transfer is XLA reshapes + broadcasts.  Motivation: the
+    space-map :class:`FactoredProlongator` pays a serialized ``take`` +
+    ``segment_sum`` over the ~1.4x-padded space (~19.6 ms/round-trip at
+    1M rows) — with 9 CG iterations that was the entire 258 ms CG+AMG
+    regression vs the identity-layout brick path.
+    """
+
+    tval: jax.Array  # (n_space,) tentative weight in the pad space
+    scale: jax.Array  # (n_space,) omega/lmax * 1/diag in the pad space
+    A: object  # fine-level PadStencilOperator
+    dims: Tuple[int, int, int]
+    brick: int
+    n_pad_c: int
+
+    @property
+    def coarse_dims(self) -> Tuple[int, int, int]:
+        b = self.brick
+        mx, my, mz = self.dims
+        return (-(-mx // b), -(-my // b), -(-mz // b))
+
+    def _t_apply(self, x_c: jax.Array) -> jax.Array:
+        mx, my, mz = self.dims
+        ncx, ncy, ncz = self.coarse_dims
+        b = self.brick
+        z = x_c[: ncx * ncy * ncz].reshape(ncz, ncy, ncx)
+        z = jnp.repeat(z, b, axis=0)[:mz]
+        z = jnp.repeat(z, b, axis=1)[:, :my]
+        z = jnp.repeat(z, b, axis=2)[:, :, :mx]
+        zp = jnp.pad(
+            z,
+            (
+                (1, self.A.Z - mz - 1),
+                (1, self.A.myp - my - 1),
+                (0, self.A.mxp - mx),
+            ),
+        )
+        return self.tval * zp.reshape(-1)
+
+    def _t_transpose(self, w: jax.Array) -> jax.Array:
+        mx, my, mz = self.dims
+        ncx, ncy, ncz = self.coarse_dims
+        b = self.brick
+        tw = (self.tval * w).reshape(self.A.Z, self.A.myp, self.A.mxp)[
+            1 : mz + 1, 1 : my + 1, :mx
+        ]
         tw = jnp.pad(
             tw,
             ((0, ncz * b - mz), (0, ncy * b - my), (0, ncx * b - mx)),
@@ -651,15 +729,31 @@ def smoothed_aggregation_setup(
             tval_pad[perm] = 1.0 / np.sqrt(counts[agg])
             scale_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
             scale_pad[perm] = (omega / lmax) / d
-            agg_pad = np.zeros(n_pad_f, dtype=np.int32)
-            agg_pad[perm] = agg
-            P_fact = FactoredProlongator(
-                agg=jnp.asarray(agg_pad),
-                tval=jnp.asarray(tval_pad),
-                scale=jnp.asarray(scale_pad),
-                A=lvl_A,
-                n_pad_c=n_pad_c,
-            )
+            if isinstance(fine_operator, PadStencilOperator) and use_brick:
+                # Brick aggregates + pad-space layout: the tentative
+                # transfer is static reshapes in the operator's own 3-D
+                # space — no take/segment_sum over the padded vector.
+                assert tuple(int(v) for v in grid_dims) == tuple(
+                    fine_operator.dims
+                )
+                P_fact = PadBrickProlongator(
+                    tval=jnp.asarray(tval_pad),
+                    scale=jnp.asarray(scale_pad),
+                    A=lvl_A,
+                    dims=tuple(int(v) for v in grid_dims),
+                    brick=brick,
+                    n_pad_c=n_pad_c,
+                )
+            else:
+                agg_pad = np.zeros(n_pad_f, dtype=np.int32)
+                agg_pad[perm] = agg
+                P_fact = FactoredProlongator(
+                    agg=jnp.asarray(agg_pad),
+                    tval=jnp.asarray(tval_pad),
+                    scale=jnp.asarray(scale_pad),
+                    A=lvl_A,
+                    n_pad_c=n_pad_c,
+                )
             P_op = P_fact
             R_op = FactoredRestriction(P=P_fact)
             inv_d_host = np.ones(n_pad_f, dtype=np.dtype(dtype))
