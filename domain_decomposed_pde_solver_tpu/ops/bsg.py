@@ -333,10 +333,13 @@ def bsg_spmv(A: BSGMatrix, x_padded: jax.Array, *, interpret: bool = False) -> j
         ],
         out_specs=pl.BlockSpec((1, SUBL, LANES), lambda t, w: (t, 0, 0)),
     )
-    y = pl.pallas_call(
-        partial(_spmv_kernel, A.max_mo),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((A.n_tiles, SUBL, LANES), jnp.float32),
-        interpret=interpret,
-    )(A.w0, x2, A.qq, A.rm, A.vals)
+    # x64=False during kernel trace: Mosaic's convert lowering recurses on
+    # the f64-intermediate casts x64 tracing inserts (see stencil_kernel).
+    with jax.enable_x64(False):
+        y = pl.pallas_call(
+            partial(_spmv_kernel, A.max_mo),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((A.n_tiles, SUBL, LANES), jnp.float32),
+            interpret=interpret,
+        )(A.w0, x2, A.qq, A.rm, A.vals)
     return y.reshape(A.n_pad).astype(x_padded.dtype)

@@ -97,17 +97,21 @@ def dia_spmv_pallas(
 
     kernel = partial(_kernel, offsets, span_neg, chunk)
     crows = chunk // LANES
-    y = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_grid * crows, LANES), x_padded.dtype),
-        grid=(n_grid,),
-        in_specs=[
-            # x resident in VMEM for the whole sweep (fits to ~25M rows in
-            # f32; larger problems are sharded into slabs first anyway).
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((len(offsets), chunk), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((crows, LANES), lambda i: (i, 0)),
-        interpret=interpret,
-    )(x2, data)
+    # x64=False during kernel trace: Mosaic's convert lowering recurses on
+    # the f64-intermediate casts x64 tracing inserts (see stencil_kernel).
+    with jax.enable_x64(False):
+        y = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_grid * crows, LANES), x_padded.dtype),
+            grid=(n_grid,),
+            in_specs=[
+                # x resident in VMEM for the whole sweep (fits to ~25M rows
+                # in f32; larger problems are sharded into slabs first
+                # anyway).
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((len(offsets), chunk), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((crows, LANES), lambda i: (i, 0)),
+            interpret=interpret,
+        )(x2, data)
     return y.reshape(n_grid * chunk)[:n_pad]

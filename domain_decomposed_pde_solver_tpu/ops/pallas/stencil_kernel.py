@@ -420,6 +420,22 @@ def pad_stencil_spmv(
     x2 = x_padded.astype(jnp.float32).reshape(Z * myp, mxp)
     corr2 = A.corr.reshape(Z * myp, mxp)
     SL = bz + 6
+    # Trace the kernel under x64=False regardless of session config: the
+    # kernel is pure f32/bf16/i32, and Mosaic's convert-lowering helper
+    # infinitely recurses on the f64-intermediate casts x64 tracing
+    # inserts (observed: RecursionError at lowering).
+    with jax.enable_x64(False):
+        y = _pad_stencil_call(meta, A, x2, corr2, SL, interpret)
+    # (cast outside the x64=False scope, where float64 would silently
+    # degrade to float32)
+    return y.reshape(-1).astype(x_padded.dtype)
+
+
+def _pad_stencil_call(meta, A, x2, corr2, SL, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    myp, mxp, bz, Z, nb = A.myp, A.mxp, A.bz, A.Z, A.nb
     y = pl.pallas_call(
         partial(_kernel, meta),
         grid=(nb,),
@@ -440,4 +456,4 @@ def pad_stencil_spmv(
         ],
         interpret=interpret,
     )(A.const_vals.reshape(1, -1), x2, A.pplanes, corr2)
-    return y.reshape(-1).astype(x_padded.dtype)
+    return y

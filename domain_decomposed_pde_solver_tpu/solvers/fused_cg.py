@@ -130,15 +130,18 @@ def _fused_cg(A: BSGMatrix, b2, x02, invd2, *, tol, maxiter, interpret):
             pltpu.VMEM((nx2, LANES), jnp.float32),  # Ap
         ],
     )
-    x2, stats = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nx2, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(A.w0, A.qq, A.rm, A.vals, b2, x02, invd2)
+    # x64=False during kernel trace: Mosaic's convert lowering recurses on
+    # the f64-intermediate casts x64 tracing inserts (see stencil_kernel).
+    with jax.enable_x64(False):
+        x2, stats = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nx2, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(A.w0, A.qq, A.rm, A.vals, b2, x02, invd2)
     return x2, stats
 
 

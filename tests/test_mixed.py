@@ -35,6 +35,41 @@ def test_refinement_warm_start(data_dir):
     assert res2.refinements == 0 and res2.converged
 
 
+@pytest.mark.parametrize("pad", [False, True])
+def test_refinement_device_residual_path(pad):
+    """The fused on-device f64-residual loop engages for stencil operators
+    (f32-exact Laplacian data) and matches the host path's accuracy."""
+    import jax.numpy as jnp
+
+    from domain_decomposed_pde_solver_tpu.ops import choose_operator
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import (
+        infer_free_grid,
+    )
+
+    mesh = box_mesh(14, 14, 14, elem_type="TETRA4")
+    sys_ = assemble_heat_system(mesh)
+    dims = infer_free_grid(mesh, sys_.free_to_node)
+    A = choose_operator(
+        sys_.A, dtype=jnp.float32, grid_dims=dims,
+        pad_stencil="always" if pad else "never",
+    )
+    assert type(A).__name__ == ("PadStencilOperator" if pad else "StencilOperator")
+    res = iterative_refinement_solve(sys_.A, sys_.b, operator=A, tol=1e-11)
+    assert res.converged and res.relres < 1e-11
+    res_host = iterative_refinement_solve(
+        sys_.A, sys_.b, operator=A, tol=1e-11, device_residual=False
+    )
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix(
+        (sys_.A.data, sys_.A.indices, sys_.A.indptr), shape=sys_.A.shape
+    )
+    for r in (res, res_host):
+        assert (
+            np.linalg.norm(S @ r.x - sys_.b) / np.linalg.norm(sys_.b) < 1e-11
+        )
+
+
 def test_refinement_over_bsg_operator():
     """f64-accurate answers (1e-10) with the BSG fast path as the inner
     solver — the uniform put/get interface makes the layouts compose."""
