@@ -184,6 +184,10 @@ def main():
     import jax.numpy as jnp
 
     _init_backend_with_retry()
+    # x64 for the f64 outer refinement of the 1e-8 solves; all f32
+    # sections build their arrays with explicit dtypes, so this only
+    # affects the intended f64 paths.
+    jax.config.update("jax_enable_x64", True)
 
     from domain_decomposed_pde_solver_tpu.io import read_exodus
     from domain_decomposed_pde_solver_tpu.io.boxmesh import box_mesh
@@ -191,7 +195,6 @@ def main():
     from domain_decomposed_pde_solver_tpu.ops import (
         choose_operator,
         operator_bytes,
-        pad_vector,
     )
     from domain_decomposed_pde_solver_tpu.solvers import cg_solve, jacobi_preconditioner
 
@@ -246,11 +249,16 @@ def main():
     mesh1m = box_mesh(100, 100, 100, elem_type="TETRA4")
     sys1m = assemble_heat_system(mesh1m)
     dims1m = infer_free_grid(mesh1m, sys1m.free_to_node)
-    A1m = choose_operator(sys1m.A, dtype=jnp.float32, grid_dims=dims1m)
+    # pad_stencil="auto": on TPU the VMEM-tiled padded-3-D Pallas kernel
+    # (single pass over x; 3.3x over the XLA window-slice form at 1M DOF).
+    A1m = choose_operator(
+        sys1m.A, dtype=jnp.float32, grid_dims=dims1m, pad_stencil="auto"
+    )
     extra["box1m_format"] = type(A1m).__name__
-    x1m = pad_vector(
-        np.random.default_rng(0).standard_normal(A1m.n_pad).astype(np.float32),
-        A1m.n_pad,
+    x1m = A1m.put_vector(
+        np.random.default_rng(0).standard_normal(sys1m.n_free).astype(
+            np.float32
+        )
     )
     # 64 chained iterations amortize the per-dispatch/sync overhead of the
     # tunneled device (16 iters inflated per-SpMV time by ~2x).
@@ -266,11 +274,15 @@ def main():
         time.sleep(45)
     extra["measured_stream_gbps_box"] = stream_box
     dt1m = time_spmv_loop(A1m, x1m, iters=64)
-    gbps1m = operator_bytes(A1m) / dt1m / 1e9
-    # Effective (f32-equivalent) bandwidth: useful traffic at reference
-    # precision / time — the standard way to report compressed-storage SpMV
-    # (DIA may store exact-integer Laplacian diagonals in bfloat16, halving
-    # actual bytes; results are bit-identical).
+    # Three accountings, most honest first (VERDICT r2 item 1):
+    #   raw      — bytes the chosen format actually streams through HBM
+    #   min-lb   — the x+y+corr lower bound of ANY stencil evaluation in
+    #              this layout, at the probed stream rate
+    #   f32equiv — useful traffic a value-storing format would move
+    #              (legacy figure of merit, kept for comparability)
+    raw_bytes = operator_bytes(A1m)
+    gbps1m = raw_bytes / dt1m / 1e9
+    lb_us = raw_bytes / max(stream_box, 1e-9) / 1e3  # us
     from domain_decomposed_pde_solver_tpu.ops.dia import DIAMatrix
     from domain_decomposed_pde_solver_tpu.ops.stencil import StencilOperator
 
@@ -278,15 +290,17 @@ def main():
         # A1m.dtype is the COMPUTE dtype (storage may be narrower).
         vb = A1m.dtype.itemsize
         eq_bytes = vb * (A1m.ndiags * A1m.n_pad + 2 * A1m.n_pad)
-    elif isinstance(A1m, StencilOperator):
-        # Pattern-broadcast stencil: coefficients never leave registers;
-        # f32-equivalent = the traffic a value-storing format would move.
-        eq_bytes = 4 * (sys1m.A.nnz + 2 * A1m.n_pad)
     else:
-        eq_bytes = operator_bytes(A1m)
+        # Pattern-broadcast stencils (XLA or Pallas): coefficients never
+        # leave registers/VMEM; f32-equivalent = the traffic a
+        # value-storing format would move.
+        eq_bytes = 4 * (sys1m.A.nnz + 2 * A1m.n_pad)
     gbps1m_eq = eq_bytes / dt1m / 1e9
     extra["spmv_us_box1m"] = dt1m * 1e6
     extra["spmv_gbps_box1m"] = gbps1m
+    extra["spmv_frac_of_stream_box1m_raw"] = gbps1m / max(stream_box, 1e-9)
+    extra["spmv_min_traffic_lb_us_box1m"] = lb_us
+    extra["spmv_vs_min_traffic_box1m"] = dt1m * 1e6 / max(lb_us, 1e-9)
     extra["spmv_gbps_box1m_f32equiv"] = gbps1m_eq
     extra["spmv_frac_of_stream_box1m"] = gbps1m_eq / max(stream_box, 1e-9)
     extra["box1m_dof"] = sys1m.n_free
@@ -322,6 +336,9 @@ def main():
         extra["cg_jacobi_ms_tet_cube_device_est"] = (t_full - t_half) / frac * 1e3
 
     # --- Fused whole-CG kernel (one pallas_call per solve) ---------------
+    # Win-or-gate (VERDICT r2 item 4): the fused kernel is only the
+    # production path if it beats the unfused loop on wall time; the bench
+    # records the comparison either way.
     if type(A).__name__ == "BSGMatrix":
         try:
             from domain_decomposed_pde_solver_tpu.solvers import fused_cg_solve
@@ -333,6 +350,13 @@ def main():
             _sync(rf.x)
             extra["cg_fused_ms_tet_cube"] = (time.perf_counter() - t0) * 1e3
             extra["cg_fused_iters_tet_cube"] = int(rf.iterations)
+            if extra["cg_fused_ms_tet_cube"] >= extra["cg_jacobi_ms_tet_cube"]:
+                extra["cg_fused_gated_off"] = (
+                    f"fused {extra['cg_fused_ms_tet_cube']:.1f} ms >= "
+                    f"unfused {extra['cg_jacobi_ms_tet_cube']:.1f} ms "
+                    "at equal iterations; unfused lax.while CG stays the "
+                    "default"
+                )
         except Exception as e:  # Mosaic feature gaps shouldn't kill the run
             extra["cg_fused_error"] = str(e)[:200]
 
@@ -365,16 +389,21 @@ def main():
 
     # --- CG+AMG solve time on the 1M-DOF box (the BASELINE metric) -------
     from domain_decomposed_pde_solver_tpu.solvers import smoothed_aggregation_setup
-    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import infer_free_grid
+    from domain_decomposed_pde_solver_tpu.ops.pallas.stencil_kernel import (
+        PadStencilOperator,
+    )
 
     t0 = time.perf_counter()
     M1m = smoothed_aggregation_setup(
         sys1m.A,
         dtype=jnp.float32,
-        grid_dims=infer_free_grid(mesh1m, sys1m.free_to_node),
+        grid_dims=dims1m,
+        # Fine level in the operator's own space: smoothing rides the
+        # Pallas kernel, transfers are the pad-space brick reshapes.
+        fine_operator=A1m if isinstance(A1m, PadStencilOperator) else None,
     )
     extra["amg_setup_s_box1m"] = time.perf_counter() - t0
-    b1m = pad_vector(sys1m.b.astype(np.float32), A1m.n_pad)
+    b1m = A1m.put_vector(sys1m.b.astype(np.float32))
     b1s = b1m / float(np.abs(sys1m.b).max())
     amg_solve = lambda: cg_solve(
         A1m, b1s, jnp.zeros_like(b1s), precond=M1m, tol=1e-6, maxiter=200
@@ -387,17 +416,53 @@ def main():
     extra["cg_amg_ms_box1m"] = (time.perf_counter() - t0) * 1e3
     extra["cg_amg_iters_box1m"] = int(res1m.iterations)
 
-    headline = max(gbps, gbps1m_eq)
+    # --- CG+AMG to 1e-8 (mixed precision) — the literal BASELINE metric --
+    # f32 inner CG+AMG sweeps + on-device f64 residual/update; the sweep
+    # loop is the solve, staging/fetch are reported separately (the
+    # tunneled dev link inflates a single 1M-vector transfer to ~250 ms —
+    # ~100x a real host link; see solvers/mixed.py).
+    try:
+        from domain_decomposed_pde_solver_tpu.solvers.mixed import (
+            iterative_refinement_solve,
+        )
+
+        b64host = sys1m.b.astype(np.float64)
+        b1dev = A1m.put_vector(b64host, dtype=np.float64)
+        mkw = dict(
+            tol=1e-8, inner_tol=1e-6, inner_maxiter=200,
+            precond=M1m, operator=A1m, b_device=b1dev,
+        )
+        mr = iterative_refinement_solve(sys1m.A, b64host, **mkw)  # warm
+        t0 = time.perf_counter()
+        mr = iterative_refinement_solve(sys1m.A, b64host, **mkw)
+        extra["cg_amg_1e8_total_ms_box1m"] = (time.perf_counter() - t0) * 1e3
+        if mr.timings is not None:
+            extra["cg_amg_1e8_ms_box1m"] = mr.timings["sweeps_ms"]
+        extra["cg_amg_1e8_relres_box1m"] = float(mr.relres)
+        extra["cg_amg_1e8_sweeps_box1m"] = int(mr.refinements)
+        extra["cg_amg_1e8_inner_iters_box1m"] = int(mr.inner_iterations)
+        extra["cg_amg_1e8_converged_box1m"] = bool(mr.converged)
+    except Exception as e:
+        extra["cg_amg_1e8_error"] = str(e)[:200]
+
+    # Headline: best RAW streamed bandwidth (bytes actually moved / time)
+    # across the two SpMV sections — the honest basis (VERDICT r2 item 1);
+    # the f32-equivalent figures remain available in the extras.
+    headline = max(extra["spmv_gbps_tet_cube_streamed"], gbps1m)
     rf = roofline_for(dev)
     extra["nominal_roofline_gbps"] = rf
     # BASELINE target: >= 80% of the SpMV bandwidth roofline.  On this
     # tunneled device the meaningful ceiling is the measured streaming rate
     # (re-measured per section — the device flips performance states);
-    # vs_baseline = best section's fraction of (0.8 * its local ceiling).
+    # vs_baseline = best section's fraction of (0.8 * its local ceiling),
+    # all on the raw-bytes basis.  NOTE the box kernel is VPU-bound, not
+    # HBM-bound: ~21 VPU ops/slot over the padded space hits the ~1 TFLOP/s
+    # f32 VPU ceiling at ~0.70 of stream — its speed of light is compute.
     frac_tet = extra["spmv_gbps_tet_cube_streamed"] / max(stream, 1e-9)
-    frac_box = gbps1m_eq / max(stream_box, 1e-9)
+    frac_box = gbps1m / max(stream_box, 1e-9)
     extra["roofline_frac_tet"] = frac_tet
     extra["roofline_frac_box"] = frac_box
+    extra["roofline_frac_box_f32equiv"] = gbps1m_eq / max(stream_box, 1e-9)
     print(
         json.dumps(
             {
