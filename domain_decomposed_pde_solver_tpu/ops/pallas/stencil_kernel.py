@@ -311,12 +311,12 @@ def pad_stencil_from_stencil(
     )
 
 
-# Scratch geometry: the DMA'd (bz+2)-layer x window sits at scratch layers
-# [GUARD, GUARD+bz+2); a tap (k, dz) reads scratch layer
-# GUARD + (x_layer - cl) = k + dz + 1 + sh + GUARD  in [GUARD-1, GUARD+bz+2]
-# plus a +-1 ROW overhang from dy.  GUARD = 2 makes the extreme reads
-# (masked halo-layer outputs at the clamped first/last blocks) land exactly
-# inside SL = bz + 6 layers.
+# Scratch geometry: the DMA'd (bz+2)-layer x window is written at layer
+# offset GUARD - sh (the first/last-block clamp shift sh is absorbed at
+# DMA time), so x layer l always sits at scratch layer GUARD + l - (blk*bz
+# - 1) and a tap (k, dz) reads the STATIC scratch layer k + dz + 1 + GUARD
+# in [GUARD, GUARD+bz+1], plus an 8-row guard overhang for the aligned
+# tall loads.  GUARD = 2 makes every read land inside SL = bz + 6 layers.
 GUARD = 2  # leading guard layers in the scratch window
 
 
@@ -339,11 +339,20 @@ def _kernel(
     SL = bz + 6  # scratch layers per buffer
     i = pl.program_id(0)
 
+    # Mosaic requires every *vector load* row offset on a multi-lane-tile
+    # (mxp > 128) memref to be provably ≡ 0 (mod 8), and its divisibility
+    # analysis does not track dynamic products (``sh * myp``,
+    # ``(i % 2) * SL * myp``).  So all dynamism is kept out of the loads:
+    # the double buffer is the *leading* scratch dim (dynamic leading-dim
+    # indexing is tile-aligned by construction) and the first/last-block
+    # clamp shift ``sh`` is folded into the DMA destination offset (DMAs
+    # carry no alignment constraint).  Read offsets below are Python ints.
     def dma(slot, blk):
         cl = jnp.clip(blk * bz - 1, 0, Z - (bz + 2))
+        sh = blk * bz - 1 - cl  # in {-1, 0, +1}
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(cl * myp, (bz + 2) * myp), :],
-            scratch.at[pl.ds((slot * SL + GUARD) * myp, (bz + 2) * myp), :],
+            scratch.at[slot, pl.ds((GUARD - sh) * myp, (bz + 2) * myp), :],
             sems.at[slot],
         )
 
@@ -356,9 +365,7 @@ def _kernel(
         dma((i + 1) % 2, i + 1).start()
 
     dma(i % 2, i).wait()
-    sbase = (i % 2) * SL * myp
-    cl = jnp.clip(i * bz - 1, 0, Z - (bz + 2))
-    sh = i * bz - 1 - cl  # in {-1, 0, +1}
+    slot = i % 2
 
     # Static row/lane interior mask (rows [1, my+1), lanes [0, mx)).
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (myp, mxp), 0)
@@ -371,12 +378,32 @@ def _kernel(
         ell = i * bz + k  # absolute output layer
         zp = (k - 1) % 2  # z-parity of grid layer (bz even, layer = ell-1)
         windows = {}
+        talls = {}
 
         def W(dz, dy):
             key = (dz, dy)
             if key not in windows:
-                base = (k + dz + 1 + sh + GUARD) * myp + dy
-                windows[key] = scratch[pl.ds(sbase + base, myp), :]
+                base = (k + dz + 1 + GUARD) * myp  # static (Python int)
+                if mxp == 128:
+                    # Single lane-tile: Mosaic lowers unaligned (static
+                    # +dy) sublane windows at full rate (BSG empirics).
+                    windows[key] = scratch[slot, pl.ds(base + dy, myp), :]
+                else:
+                    # Multi-lane-tile loads require row offsets ≡ 0
+                    # (mod 8); +dy breaks that.  Load an 8-row-guarded
+                    # tall window once per dz (aligned: myp ≡ 0 mod 8)
+                    # and realize dy ∈ {-1,+1} as a static sublane roll.
+                    if dz not in talls:
+                        talls[dz] = scratch[
+                            slot, pl.ds(base - 8, myp + 16), :
+                        ]
+                    t = talls[dz]
+                    if dy:
+                        # roll left by (8+dy) == roll right by H-(8+dy)
+                        t = pltpu.roll(t, myp + 16 - (8 + dy), axis=0)
+                        windows[key] = t[:myp]
+                    else:
+                        windows[key] = t[8 : 8 + myp]
             return windows[key]
 
         terms = []
@@ -451,7 +478,7 @@ def _pad_stencil_call(meta, A, x2, corr2, SL, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Z * myp, mxp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2 * SL * myp, mxp), jnp.float32),
+            pltpu.VMEM((2, SL * myp, mxp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
