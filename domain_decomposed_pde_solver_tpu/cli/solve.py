@@ -163,16 +163,26 @@ def main(argv=None) -> int:
                     # convergence-animation behavior of the reference's
                     # solve/writeSolution/reset loop
                     # (``BelosMueLuSolver.cpp:112-133``) without its
-                    # Krylov-space-destroying per-iteration reset.
+                    # Krylov-space-destroying per-iteration reset.  With
+                    # --snapshot-every-iteration the reset IS reproduced
+                    # literally: one outer iteration per solve call, then
+                    # write X and restart from it (animation parity).
+                    per_iter = cfg.snapshot_every_iteration
                     x_cur = x0
                     total = 0
                     result = None
                     while total < cfg.iterations:
-                        step = min(cfg.restart, cfg.iterations - total)
+                        step = (
+                            1 if per_iter
+                            else min(cfg.restart, cfg.iterations - total)
+                        )
                         result = gmres_solve(
                             A, b, x_cur, precond=precond,
-                            restart=cfg.restart, tol=cfg.tolerance,
-                            maxiter=step,
+                            # restart=1 makes each call exactly one
+                            # Arnoldi step from a fresh (reset) Krylov
+                            # space — Belos with maxiter 1 per solve.
+                            restart=1 if per_iter else cfg.restart,
+                            tol=cfg.tolerance, maxiter=step,
                         )
                         x_cur = result.x
                         total += max(int(result.iterations), 1)

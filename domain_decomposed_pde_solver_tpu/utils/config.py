@@ -32,6 +32,11 @@ class SolveConfig:
     partitions: int = 1  # device-mesh width (mpirun -n analogue)
     dtype: str = "float64"  # float32 | float64
     snapshots: bool = True  # write per-iteration timesteps like the reference
+    # Literal-parity GMRES animation mode: restart after EVERY outer
+    # iteration, exactly the reference's solve/writeSolution/reset loop
+    # (``BelosMueLuSolver.cpp:112-133``), Krylov-space reset included.
+    # Default off: warm per-restart-cycle snapshots converge far faster.
+    snapshot_every_iteration: bool = False
     restart: int = 30  # GMRES restart length
     seed: int = 0  # X randomization seed (reference uses time(NULL), :665)
     refine: int = 0  # uniform refinement levels before assembly
@@ -60,6 +65,13 @@ def add_solve_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--partitions", type=int, default=d.partitions)
     ap.add_argument("--dtype", choices=["float32", "float64"], default=d.dtype)
     ap.add_argument("--no-snapshots", dest="snapshots", action="store_false")
+    ap.add_argument(
+        "--snapshot-every-iteration",
+        dest="snapshot_every_iteration",
+        action="store_true",
+        help="GMRES: restart + snapshot after every outer iteration "
+        "(literal BelosMueLuSolver.cpp:112-133 animation parity)",
+    )
     ap.add_argument("--restart", type=int, default=d.restart)
     ap.add_argument("--seed", type=int, default=d.seed)
     ap.add_argument("--refine", type=int, default=d.refine,

@@ -64,6 +64,37 @@ def test_solve_cli_gmres_amg(data_dir, tmp_path):
     assert rc == 0
 
 
+def test_solve_cli_gmres_snapshot_every_iteration(data_dir, tmp_path):
+    """Literal animation parity: --snapshot-every-iteration restarts GMRES
+    after EVERY outer iteration and writes a timestep per iteration, the
+    reference's solve/writeSolution/reset loop (BelosMueLuSolver.cpp:112-133,
+    Krylov reset included)."""
+    sol = str(tmp_path / "sol.exo")
+    rc = solve_main(
+        ["--input", str(data_dir / "rectangle-tris-boundary.exo"),
+         "--solution", sol, "--tolerance", "1e-10", "--iterations", "40",
+         "--solver", "gmres", "--precond", "jacobi",
+         "--snapshot-every-iteration", "--seed", "3"]
+    )
+    assert rc == 0
+    names, times, vals = read_nodal_vars(sol)
+    # timestep 0 = boundary snapshot, then exactly one per outer iteration
+    n_iter = len(times) - 1
+    assert n_iter >= 2  # the reset loop needs several 1-dim Krylov steps
+    # each snapshot must strictly improve the residual on the free system
+    mesh = read_exodus(str(data_dir / "rectangle-tris-boundary.exo"))
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+    import scipy.sparse as sp
+
+    sy = assemble_heat_system(mesh)
+    S = sp.csr_matrix((sy.A.data, sy.A.indices, sy.A.indptr), shape=sy.A.shape)
+    free = sy.free_to_node
+    res = [np.linalg.norm(S @ vals[t, 0][free] - sy.b)
+           for t in range(1, len(times))]
+    assert res[-1] <= 1e-9 * np.linalg.norm(sy.b)
+    assert res[-1] < res[0]
+
+
 def test_solve_cli_sharded(data_dir, tmp_path):
     sol = str(tmp_path / "sol.exo")
     rc = solve_main(
