@@ -1,0 +1,177 @@
+"""10M-DOF benchmark — BASELINE config 5 at full scale, push-button.
+
+Generates a ~10M-DOF box heat problem (the in-repo stand-in for
+``lbracket.exo`` uniformly refined — same stencil structure, same DOF
+count), then measures the full pipeline on the attached device: assembly,
+operator build, SpMV roofline (raw + min-traffic + f32-equivalent, per
+``bench.py``'s accounting), AMG setup, CG+AMG to 1e-6, and the literal
+BASELINE metric — CG+AMG to a 1e-8 relative residual via device-resident
+mixed-precision refinement.
+
+Prints ONE JSON line (same shape as ``bench.py``) and exits; also writes
+``BENCH10M.json``.  Run: ``python bench10m.py [N]`` (default N=217, i.e.
+(N-2)^3 ~= 9.9M free DOF).
+
+Environment discipline (docs/PERF.md): the backend is touched EARLY and
+retried through tunnel outages; stream ceilings are probed next to each
+measurement; SpMV uses the two-point chained-loop fit.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import bench
+
+
+def main():
+    import jax
+
+    bench._init_backend_with_retry()
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from domain_decomposed_pde_solver_tpu.io.boxmesh import box_mesh
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+    from domain_decomposed_pde_solver_tpu.ops import choose_operator, operator_bytes
+    from domain_decomposed_pde_solver_tpu.ops.pallas.stencil_kernel import (
+        PadStencilOperator,
+    )
+    from domain_decomposed_pde_solver_tpu.solvers import (
+        cg_solve,
+        jacobi_preconditioner,
+        smoothed_aggregation_setup,
+    )
+    from domain_decomposed_pde_solver_tpu.solvers.mixed import (
+        iterative_refinement_solve,
+    )
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import infer_free_grid
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 217
+    dev = jax.devices()[0]
+    extra = {"device": str(dev), "device_kind": getattr(dev, "device_kind", "?")}
+
+    t0 = time.perf_counter()
+    mesh = box_mesh(N, N, N, elem_type="TETRA4")
+    extra["mesh_gen_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sy = assemble_heat_system(mesh)
+    extra["assembly_s"] = time.perf_counter() - t0
+    extra["dof"] = int(sy.n_free)
+    extra["nnz"] = int(sy.A.nnz)
+    print(f"# assembled n={sy.n_free} nnz={sy.A.nnz} "
+          f"({extra['assembly_s']:.1f}s)", flush=True)
+
+    dims = infer_free_grid(mesh, sy.free_to_node)
+    t0 = time.perf_counter()
+    A = choose_operator(
+        sy.A, dtype=jnp.float32, grid_dims=dims, pad_stencil="auto"
+    )
+    extra["operator_build_s"] = time.perf_counter() - t0
+    extra["format"] = type(A).__name__
+
+    # --- SpMV roofline (same three accountings as bench.py) -------------
+    stream = 0.0
+    for _ in range(6):
+        stream = bench.measured_stream_gbps()
+        if stream >= 400.0:
+            break
+        time.sleep(45)
+    extra["measured_stream_gbps"] = stream
+    x = A.put_vector(
+        np.random.default_rng(0).standard_normal(sy.n_free).astype(np.float32)
+    )
+    dt = bench.time_spmv_loop(A, x, k_lo=16, k_hi=64)
+    raw_bytes = operator_bytes(A)
+    extra["spmv_us"] = dt * 1e6
+    extra["spmv_gbps_raw"] = raw_bytes / dt / 1e9
+    extra["spmv_frac_of_stream_raw"] = extra["spmv_gbps_raw"] / max(stream, 1e-9)
+    extra["spmv_min_traffic_lb_us"] = raw_bytes / max(stream, 1e-9) / 1e3
+    extra["spmv_vs_min_traffic"] = dt * 1e6 / max(
+        extra["spmv_min_traffic_lb_us"], 1e-9
+    )
+    eq_bytes = 4 * (sy.A.nnz + 2 * A.n_pad)
+    extra["spmv_gbps_f32equiv"] = eq_bytes / dt / 1e9
+    print(f"# SpMV {dt*1e6:.0f} us raw {extra['spmv_gbps_raw']:.0f} GB/s "
+          f"({extra['spmv_frac_of_stream_raw']:.2f} of stream)", flush=True)
+
+    # --- AMG setup (target: <= 30 s at 10M, BASELINE config 5) ----------
+    t0 = time.perf_counter()
+    M = smoothed_aggregation_setup(
+        sy.A, dtype=jnp.float32, grid_dims=dims,
+        fine_operator=A if isinstance(A, PadStencilOperator) else None,
+    )
+    extra["amg_setup_s"] = time.perf_counter() - t0
+    print(f"# AMG setup {extra['amg_setup_s']:.1f}s", flush=True)
+
+    # --- CG+AMG tol 1e-6 (f32) ------------------------------------------
+    bscale = float(np.abs(sy.b).max())
+    b = A.put_vector((sy.b / bscale).astype(np.float32))
+    solve = lambda: cg_solve(
+        A, b, jnp.zeros_like(b), precond=M, tol=1e-6, maxiter=100
+    )
+    r = solve()
+    bench._sync(r.x)
+    t0 = time.perf_counter()
+    r = solve()
+    bench._sync(r.x)
+    extra["cg_amg_ms"] = (time.perf_counter() - t0) * 1e3
+    extra["cg_amg_iters"] = int(r.iterations)
+    extra["cg_amg_relres"] = float(r.relres)
+    print(f"# CG+AMG(1e-6) {extra['cg_amg_ms']:.0f} ms "
+          f"{extra['cg_amg_iters']} iters", flush=True)
+
+    # --- CG+AMG to 1e-8 (the BASELINE metric) ---------------------------
+    b64host = sy.b.astype(np.float64)
+    b64dev = A.put_vector(b64host, dtype=np.float64)
+    mkw = dict(
+        tol=1e-8, inner_tol=1e-6, inner_maxiter=100,
+        precond=M, operator=A, b_device=b64dev,
+    )
+    mr = iterative_refinement_solve(sy.A, b64host, **mkw)  # warm
+    t0 = time.perf_counter()
+    mr = iterative_refinement_solve(sy.A, b64host, **mkw)
+    extra["cg_amg_1e8_total_ms"] = (time.perf_counter() - t0) * 1e3
+    if mr.timings is not None:
+        extra["cg_amg_1e8_ms"] = mr.timings["sweeps_ms"]
+    extra["cg_amg_1e8_relres"] = float(mr.relres)
+    extra["cg_amg_1e8_sweeps"] = int(mr.refinements)
+    extra["cg_amg_1e8_inner_iters"] = int(mr.inner_iterations)
+    extra["cg_amg_1e8_converged"] = bool(mr.converged)
+    print(f"# CG+AMG(1e-8) {extra.get('cg_amg_1e8_ms', -1):.0f} ms sweeps "
+          f"{mr.refinements} relres {mr.relres:.1e}", flush=True)
+
+    # --- CG+Jacobi for scale --------------------------------------------
+    Mj = jacobi_preconditioner(A)
+    jac = lambda: cg_solve(
+        A, b, jnp.zeros_like(b), precond=Mj, tol=1e-6, maxiter=3000
+    )
+    r2 = jac()
+    bench._sync(r2.x)
+    t0 = time.perf_counter()
+    r2 = jac()
+    bench._sync(r2.x)
+    extra["cg_jacobi_ms"] = (time.perf_counter() - t0) * 1e3
+    extra["cg_jacobi_iters"] = int(r2.iterations)
+
+    out = {
+        "metric": "cg_amg_1e8_ms_10m",
+        "value": round(extra.get("cg_amg_1e8_ms", float("nan")), 2),
+        "unit": "ms",
+        # BASELINE config-5 target: AMG setup <= 30 s at 10M DOF.
+        "vs_baseline": round(30.0 / max(extra["amg_setup_s"], 1e-9), 4),
+        "extra": extra,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open("BENCH10M.json", "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
