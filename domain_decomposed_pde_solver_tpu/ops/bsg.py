@@ -63,7 +63,7 @@ SUBL = 8
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["w0", "qq", "rm", "vals", "diag", "perm"],
-    meta_fields=["n_rows", "n_tiles", "max_mo", "nx2", "storage"],
+    meta_fields=["n_rows", "n_tiles", "max_mo", "nx2", "storage", "win"],
 )
 @dataclasses.dataclass
 class BSGMatrix:
@@ -74,7 +74,7 @@ class BSGMatrix:
     :meth:`put_vector` / :meth:`get_vector` to convert.
     """
 
-    w0: jax.Array  # (n_tiles, max_mo) int32 window start rows (multiple of 8)
+    w0: jax.Array  # (n_tiles, max_mo) int32 window start rows (mult. of win)
     qq: jax.Array  # (n_tiles, max_mo, 8, 128) int8 window-row per (a, r)
     rm: jax.Array  # (n_tiles, max_mo, 8, 128) int8 source lane per (a, l)
     vals: jax.Array  # (n_tiles, max_mo, 8, 128) f32/bf16 coefficients
@@ -83,8 +83,10 @@ class BSGMatrix:
     n_rows: int
     n_tiles: int
     max_mo: int
-    nx2: int  # rows of the internal (nx2, 128) x layout (>= padded + 8)
+    nx2: int  # rows of the internal (nx2, 128) x layout (>= padded + win)
     storage: str  # "float32" | "bfloat16"
+    win: int = SUBL  # x-rows per window bin (8 or 32; wider = fewer
+    #   micro-ops at higher per-gather cost — measure before changing)
 
     @property
     def n_pad(self) -> int:
@@ -135,8 +137,8 @@ class BSGMatrix:
         """Pure-jnp (XLA) evaluation of the packed form — used to validate
         the packing itself and as the non-TPU fallback."""
         x2 = _as_x2(self, x_padded)
-        W = x2[self.w0.reshape(-1)[:, None] + np.arange(SUBL)[None, :], :]
-        W = W.reshape(self.n_tiles, self.max_mo, SUBL, LANES)
+        W = x2[self.w0.reshape(-1)[:, None] + np.arange(self.win)[None, :], :]
+        W = W.reshape(self.n_tiles, self.max_mo, self.win, LANES)
         qq = self.qq.astype(jnp.int32)
         rm = self.rm.astype(jnp.int32)
         t1 = jnp.take_along_axis(W, qq, axis=2)
@@ -175,6 +177,7 @@ def bsg_from_csr(
     *,
     reorder: bool = True,
     storage: str = "auto",
+    win: int = SUBL,
 ) -> BSGMatrix:
     """Pack a square CSR matrix into BSG form.
 
@@ -183,9 +186,17 @@ def bsg_from_csr(
     ``storage="auto"`` keeps coefficient storage in bfloat16 when every
     value round-trips exactly (true for graph Laplacians, whose entries are
     small integers), halving HBM/VMEM bytes with bit-identical results.
+    ``win`` is the x-row width of a window bin: 8 (one sublane tile,
+    default) or 32.  Wider bins cut micro-op count ~1.4x on tet meshes
+    (fill 0.21 -> 0.30), but Mosaic refuses the direct cross-sublane-tile
+    gather, and the decomposed lowering pays win/8 (= 4x) the shuffle
+    work per micro-op — a structural net loss, so 8 stays the default
+    (win=8 measures 0.83 of the probed stream on tet-cube-heat).
     """
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("BSG requires a square operator")
+    if win % SUBL or not 0 < win <= 127:
+        raise ValueError("win must be a multiple of 8 in [8, 127] (int8 qq)")
     n = csr.n_rows
     perm = _rcm_perm(csr) if reorder else None
 
@@ -204,14 +215,14 @@ def bsg_from_csr(
 
     n_tiles = max(1, -(-n // TILE))
     n_pad = n_tiles * TILE
-    nx2 = n_pad // LANES + SUBL  # zero guard rows so windows never overrun
+    nx2 = n_pad // LANES + win  # zero guard rows so windows never overrun
 
     t = rows // TILE
     a = (rows % TILE) // LANES
     l = rows % LANES
     g = cols // LANES
     r = cols % LANES
-    b = g // SUBL  # aligned 8-row window bin
+    b = g // win  # aligned win-row window bin
 
     # Micro-op assignment = bipartite edge coloring per (tile, window bin):
     # within one micro-op each output slot (a, l) and each source pair
@@ -220,7 +231,10 @@ def bsg_from_csr(
     # matching below at multi-M nnz), NumPy iterative matching fallback.
     from ..utils.native import bsg_assign_native
 
-    assigned = bsg_assign_native(rows, cols, TILE, SUBL, LANES)
+    # The native assigner's "subl" argument only sets the window width
+    # (win_rows * lanes columns per bin); the (a, r) source-conflict rule
+    # is lane-based and unchanged.
+    assigned = bsg_assign_native(rows, cols, TILE, win, LANES)
     if assigned is not None:
         mo_index, max_mo = assigned
         max_mo = max(1, max_mo)
@@ -229,7 +243,7 @@ def bsg_from_csr(
         # one remaining entry per row and per (a, r) — round count
         # approaches the max multiplicity (Konig: optimal = max degree for
         # bipartite graphs).
-        nb = nx2 // SUBL + 1
+        nb = nx2 // win + 1
         tb = t * nb + b
         rkey = tb * np.int64(n_pad) + rows  # one entry per row per round
         skey = tb * np.int64(SUBL * LANES) + a * LANES + r  # per source pair
@@ -267,10 +281,10 @@ def bsg_from_csr(
     rm = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.int8)
     vals = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.float32)
 
-    w0[t, mo_index] = (b * SUBL).astype(np.int32)
+    w0[t, mo_index] = (b * win).astype(np.int32)
     vals[t, mo_index, a, l] = data.astype(np.float32)
     rm[t, mo_index, a, l] = r.astype(np.int8)
-    qq[t, mo_index, a, r] = (g - b * SUBL).astype(np.int8)
+    qq[t, mo_index, a, r] = (g - b * win).astype(np.int8)
 
     # Diagonal (permuted space) for Jacobi-type preconditioners.
     diag = np.zeros(n_pad, dtype=np.float32)
@@ -299,17 +313,34 @@ def bsg_from_csr(
         max_mo=max_mo,
         nx2=nx2,
         storage=storage,
+        win=win,
     )
 
 
-def _spmv_kernel(max_mo, w0_ref, x_ref, qq_ref, rm_ref, v_ref, y_ref):
+def _spmv_kernel(max_mo, win, w0_ref, x_ref, qq_ref, rm_ref, v_ref, y_ref):
     import jax.experimental.pallas as pl
 
     ti = pl.program_id(0)
     acc = jnp.zeros((SUBL, LANES), jnp.float32)
     for m in range(max_mo):
-        W = x_ref[pl.ds(w0_ref[ti, m], SUBL), :]
-        t1 = jnp.take_along_axis(W, qq_ref[0, m].astype(jnp.int32), axis=0)
+        W = x_ref[pl.ds(w0_ref[ti, m], win), :]
+        qq = qq_ref[0, m].astype(jnp.int32)
+        if win == SUBL:
+            t1 = jnp.take_along_axis(W, qq, axis=0)
+        else:
+            # Mosaic refuses the direct cross-sublane-tile gather (trace
+            # AssertionError): decompose into win/8 within-tile gathers +
+            # selects.  ~win/8 x the shuffle work per micro-op, so wide
+            # windows only pay off if they cut micro-ops by more than that
+            # (measured: they don't on tet meshes — win=8 stays default).
+            t1 = jnp.zeros((SUBL, LANES), jnp.float32)
+            for s in range(win // SUBL):
+                part = jnp.take_along_axis(
+                    W[s * SUBL : (s + 1) * SUBL],
+                    jnp.clip(qq - s * SUBL, 0, SUBL - 1),
+                    axis=0,
+                )
+                t1 = jnp.where(qq // SUBL == s, part, t1)
         g = jnp.take_along_axis(t1, rm_ref[0, m].astype(jnp.int32), axis=1)
         acc = acc + v_ref[0, m].astype(jnp.float32) * g
     y_ref[0, :, :] = acc
@@ -337,7 +368,7 @@ def bsg_spmv(A: BSGMatrix, x_padded: jax.Array, *, interpret: bool = False) -> j
     # the f64-intermediate casts x64 tracing inserts (see stencil_kernel).
     with jax.enable_x64(False):
         y = pl.pallas_call(
-            partial(_spmv_kernel, A.max_mo),
+            partial(_spmv_kernel, A.max_mo, A.win),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((A.n_tiles, SUBL, LANES), jnp.float32),
             interpret=interpret,

@@ -157,24 +157,22 @@ def _bf16_exact(vals: np.ndarray) -> bool:
     return _ok(vals[head:]) if vals.size > head else True
 
 
-def dia_from_csr(
+def pack_dia_host(
     csr: CSRMatrix,
     dtype=jnp.float32,
     max_diags: int = 64,
     row_multiple: int = 8,
-    storage: str = "auto",
-) -> Optional[DIAMatrix]:
-    """Convert to DIA iff every nonzero lies on at most ``max_diags``
-    diagonals; returns None otherwise.
-
-    ``storage="auto"`` stores the diagonals in bfloat16 when every entry is
-    exactly representable there (bit-exact results, ~2x less SpMV traffic);
-    ``storage="full"`` forces storage == compute dtype."""
+):
+    """Host-only DIA detect+pack: ``(offsets, data (ndiags, n_pad))`` NumPy
+    arrays, or None when the matrix has more than ``max_diags`` diagonals
+    (or is not square).  No device transfer — :func:`choose_operator` runs
+    stencil detection on this form before uploading anything (at 10M DOF
+    the (27, n) DIA array is ~1.1 GB; an upload+download round-trip through
+    it dominated operator build time)."""
     n = csr.n_rows
     if csr.n_cols != n:
         return None
     n_pad = pad_to(max(n, 1), row_multiple)
-    data = None
     if np.dtype(dtype) == np.float32:
         # Native single-pass detect+pack (the NumPy form below needs three
         # nnz-sized temporaries plus a sort: ~3.5 s at 19M nnz vs ~0.2 s).
@@ -186,16 +184,19 @@ def dia_from_csr(
         if packed == "toomany":
             return None
         if packed is not None:
-            uniq, data = packed
-    if data is None:
-        rows = np.repeat(np.arange(n), csr.row_lengths())
-        offs = csr.indices - rows
-        uniq = np.unique(offs)
-        if uniq.size > max_diags:
-            return None
-        data = np.zeros((uniq.size, n_pad), dtype=np.dtype(dtype))
-        dpos = np.searchsorted(uniq, offs)
-        data[dpos, rows] = csr.data.astype(np.dtype(dtype))
+            return packed
+    rows = np.repeat(np.arange(n), csr.row_lengths())
+    offs = csr.indices - rows
+    uniq = np.unique(offs)
+    if uniq.size > max_diags:
+        return None
+    data = np.zeros((uniq.size, n_pad), dtype=np.dtype(dtype))
+    dpos = np.searchsorted(uniq, offs)
+    data[dpos, rows] = csr.data.astype(np.dtype(dtype))
+    return uniq, data
+
+
+def _dia_wrap_device(csr, uniq, data, dtype, storage) -> DIAMatrix:
     compute = ""
     dev_data = jnp.asarray(data)
     if (
@@ -210,9 +211,29 @@ def dia_from_csr(
     return DIAMatrix(
         data=dev_data,
         offsets=tuple(int(o) for o in uniq),
-        n_rows=n,
+        n_rows=csr.n_rows,
         compute_dtype=compute,
     )
+
+
+def dia_from_csr(
+    csr: CSRMatrix,
+    dtype=jnp.float32,
+    max_diags: int = 64,
+    row_multiple: int = 8,
+    storage: str = "auto",
+) -> Optional[DIAMatrix]:
+    """Convert to DIA iff every nonzero lies on at most ``max_diags``
+    diagonals; returns None otherwise.
+
+    ``storage="auto"`` stores the diagonals in bfloat16 when every entry is
+    exactly representable there (bit-exact results, ~2x less SpMV traffic);
+    ``storage="full"`` forces storage == compute dtype."""
+    packed = pack_dia_host(csr, dtype, max_diags, row_multiple)
+    if packed is None:
+        return None
+    uniq, data = packed
+    return _dia_wrap_device(csr, uniq, data, dtype, storage)
 
 
 def choose_operator(
@@ -241,12 +262,16 @@ def choose_operator(
       serialized memory ops (TPU gathers cost per padded slot);
     - plain ELL as the fallback.
     """
-    dia = dia_from_csr(csr, dtype=dtype, max_diags=max_diags)
-    if dia is not None:
+    packed = pack_dia_host(csr, dtype=dtype, max_diags=max_diags)
+    if packed is not None:
+        uniq, data = packed
         if grid_dims is not None and jnp.dtype(dtype) == jnp.float32:
-            from .stencil import stencil_from_dia
+            from .stencil import stencil_from_packed
 
-            st = stencil_from_dia(dia, grid_dims, dtype=dtype)
+            # Detect on the HOST pack — a stencil mesh never uploads the
+            # (ndiags, n) DIA array at all (~1.1 GB at 10M DOF).
+            st = stencil_from_packed(uniq, data, csr.n_rows, grid_dims,
+                                     dtype=dtype)
             if st is not None:
                 # Padded-3-D Pallas form: single-pass-over-x SpMV (3.3x
                 # over the XLA window-slice form at 1M DOF on v5e, 70% of
@@ -263,7 +288,7 @@ def choose_operator(
 
                     return pad_stencil_from_stencil(st)
                 return st
-        return dia
+        return _dia_wrap_device(csr, uniq, data, dtype, "auto")
     if bsg == "always" or (
         bsg == "auto"
         and jnp.dtype(dtype) == jnp.float32

@@ -195,6 +195,25 @@ def stencil_from_dia(
 ) -> Optional[StencilOperator]:
     """Exact lattice-stencil decomposition of a DIA matrix, or None.
 
+    Downloads the diagonal array from device; prefer
+    :func:`stencil_from_packed` on the host-packed form when available
+    (at 10M DOF this download is ~1.1 GB through the device link).
+    """
+    n = dia.n_rows
+    data = np.asarray(dia.data.astype(jnp.float32))[:, :n]
+    return stencil_from_packed(dia.offsets, data, n, dims, dtype=dtype)
+
+
+def stencil_from_packed(
+    offsets,
+    data: np.ndarray,
+    n: int,
+    dims: Tuple[int, int, int],
+    dtype=jnp.float32,
+) -> Optional[StencilOperator]:
+    """Exact lattice-stencil decomposition of host-packed diagonals
+    (``offsets``, ``data (ndiags, >= n)``), or None.
+
     Verifies per-entry that every off-diagonal equals
     ``pattern[class(i), tap] * in_range(i, tap)`` and that the diagonal
     deviation is captured by the elementwise correction.  Tries period 1
@@ -202,10 +221,8 @@ def stencil_from_dia(
     e.g. 5-tet boxes).
     """
     mx, my, mz = (int(v) for v in dims)
-    n = dia.n_rows
     if mx * my * mz != n or min(mx, my, mz) < 7:
         return None
-    offsets = dia.offsets
     taps = []
     for o in offsets:
         found = None
@@ -220,7 +237,7 @@ def stencil_from_dia(
         return None
     diag_idx = taps.index((0, 0, 0))
 
-    data = np.asarray(dia.data.astype(jnp.float32))[:, :n]
+    data = np.asarray(data, dtype=np.float32)[:, :n]
     i = np.arange(n)
     ix = i % mx
     r = i // mx

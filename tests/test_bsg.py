@@ -66,6 +66,33 @@ def test_bsg_matvec_matches_csr(n, deg, seed, reorder):
     np.testing.assert_allclose(y2, y_ref, rtol=2e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("win", [8, 32])
+def test_bsg_wide_windows_match_csr(win):
+    """win=32 bins (ROADMAP item 5): fewer micro-ops, same numbers —
+    through both the XLA reference and the Pallas kernel (interpret)."""
+    S = _random_laplacian(2500, 15, 7)
+    A8 = bsg_from_csr(_to_csr(S), win=8)
+    A = bsg_from_csr(_to_csr(S), win=win)
+    assert A.win == win
+    if win > 8:
+        assert A.max_mo <= A8.max_mo  # wider bins never add micro-ops
+    x = np.random.default_rng(7).standard_normal(2500).astype(np.float32)
+    y_ref = (S @ x).astype(np.float32)
+    xp = A.put_vector(x)
+    y1 = A.get_vector(np.asarray(A.matvec_reference(xp)))
+    np.testing.assert_allclose(y1, y_ref, rtol=2e-5, atol=1e-4)
+    y2 = A.get_vector(np.asarray(bsg_spmv(A, xp, interpret=True)))
+    np.testing.assert_allclose(y2, y_ref, rtol=2e-5, atol=1e-4)
+
+
+def test_bsg_win_validation():
+    S = _random_laplacian(64, 4, 8)
+    with pytest.raises(ValueError):
+        bsg_from_csr(_to_csr(S), win=12)
+    with pytest.raises(ValueError):
+        bsg_from_csr(_to_csr(S), win=128)  # int8 qq bound
+
+
 def test_bsg_put_get_roundtrip():
     S = _random_laplacian(211, 6, 3)
     A = bsg_from_csr(_to_csr(S))
