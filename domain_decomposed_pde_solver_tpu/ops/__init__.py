@@ -7,7 +7,14 @@ from .dia import DIAMatrix, choose_operator, dia_from_csr, operator_bytes
 from .hyb import HYBMatrix, hyb_from_csr, rcm_permute
 from .splitell import SplitELLMatrix, splitell_from_csr
 from .bsg import BSGMatrix, bsg_from_csr, bsg_spmv
-from .stencil import StencilOperator, stencil_from_csr, stencil_from_dia
+from .stencil import (
+    StencilOperator,
+    stencil_from_csr,
+    stencil_from_dia,
+    stencil_from_packed,
+    stencil_from_parts,
+    stencil_parts_from_packed,
+)
 
 __all__ = [
     "CSRMatrix",
@@ -34,4 +41,7 @@ __all__ = [
     "StencilOperator",
     "stencil_from_csr",
     "stencil_from_dia",
+    "stencil_from_packed",
+    "stencil_from_parts",
+    "stencil_parts_from_packed",
 ]

@@ -266,13 +266,16 @@ def choose_operator(
     if packed is not None:
         uniq, data = packed
         if grid_dims is not None and jnp.dtype(dtype) == jnp.float32:
-            from .stencil import stencil_from_packed
+            from .stencil import stencil_from_parts, stencil_parts_from_packed
 
             # Detect on the HOST pack — a stencil mesh never uploads the
-            # (ndiags, n) DIA array at all (~1.1 GB at 10M DOF).
-            st = stencil_from_packed(uniq, data, csr.n_rows, grid_dims,
-                                     dtype=dtype)
-            if st is not None:
+            # (ndiags, n) DIA array at all (~1.1 GB at 10M DOF), and the
+            # padded form is built straight from the host parts (no
+            # intermediate device operator / corr round-trip).
+            parts = stencil_parts_from_packed(
+                uniq, data, csr.n_rows, grid_dims
+            )
+            if parts is not None:
                 # Padded-3-D Pallas form: single-pass-over-x SpMV (3.3x
                 # over the XLA window-slice form at 1M DOF on v5e, 70% of
                 # stream raw).  Owns an embedded vector space, so callers
@@ -283,11 +286,11 @@ def choose_operator(
                     and jax.devices()[0].platform == "tpu"
                 ):
                     from .pallas.stencil_kernel import (
-                        pad_stencil_from_stencil,
+                        pad_stencil_from_parts,
                     )
 
-                    return pad_stencil_from_stencil(st)
-                return st
+                    return pad_stencil_from_parts(parts)
+                return stencil_from_parts(parts, dtype=dtype)
         return _dia_wrap_device(csr, uniq, data, dtype, "auto")
     if bsg == "always" or (
         bsg == "auto"

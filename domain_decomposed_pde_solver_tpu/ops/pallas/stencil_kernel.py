@@ -48,7 +48,11 @@ import numpy as np
 
 from ..stencil import StencilOperator, stencil_core
 
-__all__ = ["PadStencilOperator", "pad_stencil_from_stencil"]
+__all__ = [
+    "PadStencilOperator",
+    "pad_stencil_from_stencil",
+    "pad_stencil_from_parts",
+]
 
 
 def _round_up(v: int, m: int) -> int:
@@ -129,6 +133,24 @@ class PadStencilOperator:
         x3 = np.zeros((self.Z, self.myp, self.mxp), dtype=np.dtype(dtype))
         x3[1 : mz + 1, 1 : my + 1, :mx] = np.asarray(x).reshape(mz, my, mx)
         return jnp.asarray(x3.reshape(-1))
+
+    def put_vector_sparse(self, x, dtype=jnp.float32) -> jax.Array:
+        """Like :meth:`put_vector` but ships only the nonzeros when the
+        vector is sparse enough (boundary-driven RHS vectors are ~3%
+        nonzero at 10M DOF; the tunnel moves 0.7-80 MB/s)."""
+        x = np.asarray(x)
+        nz = np.flatnonzero(x)
+        if nz.size >= 0.25 * x.size:
+            return self.put_vector(x, dtype)
+        mx, my, mz = self.dims
+        iz, r = np.divmod(nz, mx * my)
+        iy, ix = np.divmod(r, mx)
+        slots = ((iz + 1) * self.myp + iy + 1) * self.mxp + ix
+        return (
+            jnp.zeros(self.n_pad, jnp.dtype(dtype))
+            .at[jnp.asarray(slots)]
+            .set(jnp.asarray(x[nz].astype(np.dtype(dtype))))
+        )
 
     def get_vector(self, xp) -> np.ndarray:
         mx, my, mz = self.dims
@@ -219,7 +241,7 @@ class PadStencilOperator:
 
 
 def _build_pattern_planes(
-    st: StencilOperator, myp: int, mxp: int
+    period: int, pats_in, groups, group_const, myp: int, mxp: int
 ) -> Tuple[np.ndarray, Tuple[int, ...]]:
     """Per non-constant group: (2*myp, mxp) z-parity coefficient planes.
 
@@ -227,16 +249,16 @@ def _build_pattern_planes(
     bakes in the leading zero pad row (iy = r - 1); values at pad rows /
     lanes are don't-care (the kernel masks its output).
     """
-    p = st.period
-    pats = np.asarray(st.pats, dtype=np.float32)
+    p = period
+    pats = np.asarray(pats_in, dtype=np.float32)
     plane_of_group = []
     planes = []
     r = np.arange(myp)
     l = np.arange(mxp)
     ypar = (r - 1) % p
     xpar = l % p
-    for g, tap_idx in enumerate(st.groups):
-        if st.group_const[g]:
+    for g, tap_idx in enumerate(groups):
+        if group_const[g]:
             plane_of_group.append(-1)
             continue
         pat = pats[tap_idx[0]]  # (p, p, p) [iz%p, iy%p, ix%p]
@@ -255,12 +277,37 @@ def _build_pattern_planes(
 
 
 def pad_stencil_from_stencil(
-    st: StencilOperator, bz: int = 8, corr_storage: str = "auto"
+    st: StencilOperator, bz: int = 8, corr_storage: str = "auto",
 ) -> PadStencilOperator:
     """Repack an (already verified) XLA stencil operator into the padded
-    3-D layout.  ``bz`` (even) is the z-layers-per-grid-step; it is shrunk
+    3-D layout.  Downloads ``st.corr`` from device — prefer
+    :func:`pad_stencil_from_parts` on the host decomposition when
+    available (``choose_operator`` uses it; the tunnel moves 0.7-80 MB/s
+    depending on its state)."""
+    n = st.n_rows
+    parts = dict(
+        pats=np.asarray(st.pats, np.float32),
+        const_vals=np.asarray(st.const_vals, np.float32),
+        corr_pad=np.asarray(st.corr, np.float32),
+        taps=st.taps,
+        groups=st.groups,
+        group_const=st.group_const,
+        dims=st.dims,
+        period=st.period,
+        n_rows=n,
+        n_pad=int(st.n_pad),
+    )
+    return pad_stencil_from_parts(parts, bz=bz, corr_storage=corr_storage)
+
+
+def pad_stencil_from_parts(
+    parts: dict, bz: int = 8, corr_storage: str = "auto"
+) -> PadStencilOperator:
+    """Host stencil decomposition (``stencil_parts_from_packed``) ->
+    padded-3-D Pallas operator, with no intermediate device operator.
+    ``bz`` (even) is the z-layers-per-grid-step; it is shrunk
     automatically so the kernel's VMEM footprint stays under budget."""
-    mx, my, mz = st.dims
+    mx, my, mz = parts["dims"]
     myp = _round_up(my + 2, 8)
     mxp = _round_up(mx + 1, 128)
 
@@ -278,32 +325,49 @@ def pad_stencil_from_stencil(
     Z = _round_up(mz + 2, bz)
     n = mx * my * mz
 
-    # Diagonal correction, embedded (host reshape-scatter, done once).
-    corr3 = np.zeros((Z, myp, mxp), dtype=np.float32)
-    corr3[1 : mz + 1, 1 : my + 1, :mx] = np.asarray(
-        st.corr[:n], dtype=np.float32
-    ).reshape(mz, my, mx)
-    corr = corr3.reshape(-1)
+    # Diagonal correction, embedded.  The correction is nonzero only where
+    # the diagonal deviates from the lattice pattern (grid-boundary rows,
+    # ~3% of a 10M box), so when sparse enough it ships as (idx, val)
+    # pairs and scatters on device instead of uploading the dense padded
+    # vector (50 MB -> ~2 MB through the 0.7-80 MB/s tunnel).
+    corr_host = np.asarray(parts["corr_pad"][:n], dtype=np.float32)
     if corr_storage == "auto":
         from ..dia import _bf16_exact
 
-        corr_storage = "bfloat16" if _bf16_exact(corr) else "float32"
-    corr_j = jnp.asarray(corr)
+        corr_storage = "bfloat16" if _bf16_exact(corr_host) else "float32"
+    nz = np.flatnonzero(corr_host)
+    n_pad_slots = Z * myp * mxp
+    if nz.size < 0.25 * n:
+        iz, r = np.divmod(nz, mx * my)
+        iy, ix = np.divmod(r, mx)
+        slots = ((iz + 1) * myp + iy + 1) * mxp + ix
+        corr_j = (
+            jnp.zeros(n_pad_slots, jnp.float32)
+            .at[jnp.asarray(slots)]
+            .set(jnp.asarray(corr_host[nz]))
+        )
+    else:
+        corr3 = np.zeros((Z, myp, mxp), dtype=np.float32)
+        corr3[1 : mz + 1, 1 : my + 1, :mx] = corr_host.reshape(mz, my, mx)
+        corr_j = jnp.asarray(corr3.reshape(-1))
     if corr_storage == "bfloat16":
         corr_j = corr_j.astype(jnp.bfloat16)
 
-    pplanes, plane_of_group = _build_pattern_planes(st, myp, mxp)
+    pplanes, plane_of_group = _build_pattern_planes(
+        parts["period"], parts["pats"], parts["groups"],
+        parts["group_const"], myp, mxp,
+    )
     return PadStencilOperator(
-        pats=jnp.asarray(st.pats, jnp.float32),
-        const_vals=jnp.asarray(st.const_vals, jnp.float32),
+        pats=jnp.asarray(parts["pats"], jnp.float32),
+        const_vals=jnp.asarray(parts["const_vals"], jnp.float32),
         pplanes=jnp.asarray(pplanes),
         corr=corr_j,
-        taps=st.taps,
-        groups=st.groups,
-        group_const=st.group_const,
+        taps=parts["taps"],
+        groups=parts["groups"],
+        group_const=parts["group_const"],
         plane_of_group=plane_of_group,
-        dims=st.dims,
-        period=st.period,
+        dims=parts["dims"],
+        period=parts["period"],
         myp=myp,
         mxp=mxp,
         bz=bz,

@@ -212,13 +212,30 @@ def stencil_from_packed(
     dtype=jnp.float32,
 ) -> Optional[StencilOperator]:
     """Exact lattice-stencil decomposition of host-packed diagonals
-    (``offsets``, ``data (ndiags, >= n)``), or None.
+    (``offsets``, ``data (ndiags, >= n)``) to a device operator, or None."""
+    parts = stencil_parts_from_packed(offsets, data, n, dims)
+    if parts is None:
+        return None
+    return stencil_from_parts(parts, dtype=dtype)
+
+
+def stencil_parts_from_packed(
+    offsets,
+    data: np.ndarray,
+    n: int,
+    dims: Tuple[int, int, int],
+) -> Optional[dict]:
+    """Exact lattice-stencil decomposition of host-packed diagonals into
+    HOST arrays (no device transfer), or None.
 
     Verifies per-entry that every off-diagonal equals
     ``pattern[class(i), tap] * in_range(i, tap)`` and that the diagonal
     deviation is captured by the elementwise correction.  Tries period 1
     (constant stencil, e.g. HEX8 boxes) then period 2 (parity-alternating,
-    e.g. 5-tet boxes).
+    e.g. 5-tet boxes).  Returned dict feeds :func:`stencil_from_parts` or
+    the padded-3-D builder (``pad_stencil_from_parts``) — the split keeps
+    the big ``corr`` vector on the host until the final operator decides
+    how to ship it (the tunnel moves 0.7-80 MB/s depending on state).
     """
     mx, my, mz = (int(v) for v in dims)
     if mx * my * mz != n or min(mx, my, mz) < 7:
@@ -300,10 +317,10 @@ def stencil_from_packed(
             ],
             dtype=np.float32,
         )
-        return StencilOperator(
-            pats=jnp.asarray(pats, jnp.dtype(dtype)),
-            const_vals=jnp.asarray(const_vals, jnp.dtype(dtype)),
-            corr=jnp.asarray(corr_pad, jnp.dtype(dtype)),
+        return dict(
+            pats=pats,
+            const_vals=const_vals,
+            corr_pad=corr_pad,
             taps=tuple(taps),
             groups=groups,
             group_const=group_const,
@@ -313,6 +330,37 @@ def stencil_from_packed(
             n_pad=n_pad,
         )
     return None
+
+
+def stencil_from_parts(parts: dict, dtype=jnp.float32) -> StencilOperator:
+    """Host decomposition -> device :class:`StencilOperator`.
+
+    The correction vector is nonzero only on grid-boundary rows (~3% of a
+    10M box): when sparse enough it ships as (idx, val) pairs and
+    scatters on device instead of a dense n-sized upload."""
+    corr_pad = parts["corr_pad"]
+    n_pad = parts["n_pad"]
+    nz = np.flatnonzero(corr_pad)
+    if nz.size < 0.25 * n_pad:
+        corr_dev = (
+            jnp.zeros(n_pad, jnp.dtype(dtype))
+            .at[jnp.asarray(nz)]
+            .set(jnp.asarray(corr_pad[nz].astype(np.dtype(dtype))))
+        )
+    else:
+        corr_dev = jnp.asarray(corr_pad, jnp.dtype(dtype))
+    return StencilOperator(
+        pats=jnp.asarray(parts["pats"], jnp.dtype(dtype)),
+        const_vals=jnp.asarray(parts["const_vals"], jnp.dtype(dtype)),
+        corr=corr_dev,
+        taps=parts["taps"],
+        groups=parts["groups"],
+        group_const=parts["group_const"],
+        dims=parts["dims"],
+        period=parts["period"],
+        n_rows=parts["n_rows"],
+        n_pad=n_pad,
+    )
 
 
 def stencil_from_csr(

@@ -149,12 +149,27 @@ def _lmax_dinv_a_host(S) -> float:
     """Power-method estimate of lambda_max(D^-1 A) on the host CSR.
 
     D^-1 A is applied as matvec-then-divide — materializing ``Dinv @ S``
-    as a scipy spgemm cost 0.5 s/level at 19M nnz."""
+    as a scipy spgemm cost 0.5 s/level at 19M nnz.  Above 4M rows the
+    matrix is recast to f32 values + int32 indices first (half the
+    memory traffic of the 20 power matvecs; ~16 s -> ~9 s at 10M DOF) —
+    gated so small hierarchies stay bit-identical."""
+    if S.shape[0] > 4_000_000 and S.nnz < 2**31:
+        import scipy.sparse as sp
+
+        S = sp.csr_matrix(
+            (
+                S.data.astype(np.float32),
+                S.indices.astype(np.int32),
+                S.indptr.astype(np.int32),
+            ),
+            shape=S.shape,
+        )
     d = S.diagonal()
     d = np.where(d != 0, d, 1.0)
     rng = np.random.default_rng(0)
     q = rng.uniform(size=S.shape[0])
     q /= np.linalg.norm(q)
+    q = q.astype(S.dtype, copy=False)  # f64 q would upcast the matvec
     lam = 1.0
     for _ in range(20):
         z = (S @ q) / d  # one matvec per iteration: lam = q.z with unit q
@@ -170,44 +185,46 @@ def _lmax_dinv_a_host(S) -> float:
     return float(abs(lam)) * 1.05
 
 
-@partial(jax.jit)
-def _lmax_power_device(A_op, d, q):
-    """20 power iterations of D^-1 A with the device operator (pytree
-    ARGUMENT, never closed over).  Same recurrence as
-    :func:`_lmax_dinv_a_host`; pad slots stay zero (A rows are zero there
-    and d carries the fill=1)."""
+def _pad_brick_level0_device(A_op, brick: int, omega: float, lmax: float,
+                             dtype):
+    """Level-0 transfer/smoother vectors computed ON DEVICE in the
+    pad-stencil operator's embedded 3-D space — zero n-sized uploads.
 
-    def body(_, carry):
-        q, lam = carry
-        z = A_op.matvec(q) / d
-        nz = jnp.sqrt(jnp.vdot(z, z))
-        lam = jnp.vdot(q, z)
-        q = z / jnp.maximum(nz, jnp.asarray(1e-30, q.dtype))
-        return (q, lam)
+    - ``tval[i] = 1/sqrt(|aggregate of i|)`` with clamped ``brick^3``
+      geometric aggregates: the aggregate size is a product of per-axis
+      clamped extents, so it assembles as a broadcast outer product of
+      three tiny axis vectors (exact small-int products, one f32 rsqrt).
+    - ``scale = (omega/lmax) / diag`` and ``inv_diag = 1/diag`` come from
+      the operator's own ``diagonal_padded`` (device).  Values on pad
+      slots are don't-care: every consumer multiplies them into vectors
+      that carry zeros there (the pad-slot invariant), except tval which
+      must BE zero on pads — enforced with the pad mask.
+    """
+    mx, my, mz = A_op.dims
+    myp, mxp, Z = A_op.myp, A_op.mxp, A_op.Z
 
-    _, lam = jax.lax.fori_loop(
-        0, 20, body, (q, jnp.asarray(1.0, q.dtype))
+    def axis_counts(m):
+        a = np.arange(m) // brick
+        return np.minimum(brick, m - a * brick).astype(np.float32)
+
+    vx = np.zeros(mxp, np.float32)
+    vx[:mx] = axis_counts(mx)
+    vy = np.zeros(myp, np.float32)
+    vy[1 : my + 1] = axis_counts(my)
+    vz = np.zeros(Z, np.float32)
+    vz[1 : mz + 1] = axis_counts(mz)
+    counts3 = (
+        jnp.asarray(vz)[:, None, None]
+        * jnp.asarray(vy)[None, :, None]
+        * jnp.asarray(vx)[None, None, :]
     )
-    return lam
-
-
-def _lmax_dinv_a_op(A_op, n_rows: int) -> float:
-    """lambda_max(D^-1 A) via the device operator's fast matvec.
-
-    At 10M DOF the host power method costs ~20 scipy matvecs over 132M
-    nnz (~16 s); the pad-stencil operator does the same 20 matvecs in
-    ~8 ms.  f32 on device vs f64 on host shifts the estimate by <1e-4
-    relative — callers gate this on large n so small-problem hierarchies
-    stay bit-identical to the host build."""
-    rng = np.random.default_rng(0)
-    q = rng.uniform(size=n_rows)
-    q /= np.linalg.norm(q)
-    d = A_op.diagonal_padded(fill=1.0).astype(jnp.float32)
-    lam = _lmax_power_device(A_op, d, A_op.put_vector(q.astype(np.float32)))
-    lam = float(np.asarray(lam))
-    if lam == 0.0:
-        return 1.0
-    return abs(lam) * 1.05
+    tval = jnp.where(
+        counts3 > 0, 1.0 / jnp.sqrt(jnp.maximum(counts3, 1.0)), 0.0
+    ).reshape(-1).astype(dtype)
+    dpad = A_op.diagonal_padded(fill=1.0).astype(dtype)
+    scale = jnp.asarray(omega / lmax, dtype) / dpad
+    inv_d = 1.0 / dpad
+    return tval, scale, inv_d
 
 
 def _count_diagonals_capped(csr, cap: int) -> int:
@@ -431,14 +448,20 @@ class PadBrickProlongator:
 
 
 def brick_aggregate(dims: Tuple[int, int, int], brick: int) -> np.ndarray:
-    """Host-side aggregate ids for :class:`BrickProlongator`'s bricks."""
+    """Host-side aggregate ids for :class:`BrickProlongator`'s bricks.
+
+    Separable broadcast of three tiny axis arrays into ONE n-sized
+    output — the earlier per-index form allocated seven n-sized int64
+    temporaries, which page-faulted for ~33 s at 10M DOF on this host."""
     mx, my, mz = dims
     b = brick
     ncx, ncy = -(-mx // b), -(-my // b)
-    f = np.arange(mx * my * mz)
-    ix, rest = f % mx, f // mx
-    iy, iz = rest % my, rest // my
-    return (ix // b) + ncx * ((iy // b) + ncy * (iz // b))
+    ax = np.arange(mx, dtype=np.int64) // b
+    ay = ncx * (np.arange(my, dtype=np.int64) // b)
+    az = (ncx * ncy) * (np.arange(mz, dtype=np.int64) // b)
+    return (
+        az[:, None, None] + ay[None, :, None] + ax[None, None, :]
+    ).reshape(-1)
 
 
 def infer_free_grid(mesh, free_to_node) -> Optional[Tuple[int, int, int]]:
@@ -559,6 +582,7 @@ def smoothed_aggregation_setup(
     brick: int = 6,
     fine_operator=None,
     level_info_out: Optional[list] = None,
+    timings_out: Optional[dict] = None,
 ) -> AMGPreconditioner:
     """Build the SA-AMG hierarchy from the host CSR operator.
 
@@ -590,6 +614,19 @@ def smoothed_aggregation_setup(
     rows) to VPU streaming reshapes.
     """
     import scipy.sparse as sp
+    import time as _time
+
+    # Cumulative per-phase wall seconds (``timings_out``): on the tunneled
+    # device both transfers (0.7-80 MB/s) and per-program compiles
+    # (~2-30 s) swing wildly with tunnel state — setup regressions are
+    # un-diagnosable without this split.
+    _tm = {} if timings_out is None else timings_out
+    _last = [_time.perf_counter()]
+
+    def _mark(name):
+        now = _time.perf_counter()
+        _tm[name] = _tm.get(name, 0.0) + (now - _last[0])
+        _last[0] = now
 
     levels: List[AMGLevel] = []
     A_k = _to_scipy(A)
@@ -615,14 +652,27 @@ def smoothed_aggregation_setup(
     ]
 
     if aggressive_levels == "auto":
-        if operator_format != "ell" and A.n_rows > 200_000:
+        if (
+            grid_dims is not None
+            and int(np.prod(grid_dims)) == A.n_rows
+        ):
+            # Brick transfers replace level-0 greedy aggregation entirely,
+            # and aggressive composing only ever applies at level 0 — the
+            # diagonal-count probe (a full pass over 132M indices at 10M
+            # DOF) would be wasted.
+            aggressive_levels = 0
+        elif operator_format != "ell" and A.n_rows > 200_000:
             ndiags = _count_diagonals_capped(A, 64)
             aggressive_levels = 1 if ndiags <= 64 else 0
         else:
             aggressive_levels = 0
+    _mark("diag_probe")
 
     while A_k.shape[0] > coarse_size and len(levels) < max_levels - 1:
-        csr_k = _from_scipy(A_k)
+        # Level 0: reuse the caller's CSR — the scipy round-trip upcasts
+        # indices int32 -> int64 and re-copies data (~3 GB of host traffic
+        # and ~20 s of page faults at 10M DOF / 132M nnz).
+        csr_k = A if len(levels) == 0 else _from_scipy(A_k)
         if (
             len(levels) == 0
             and grid_dims is not None
@@ -680,6 +730,7 @@ def smoothed_aggregation_setup(
                     agg2 = aggregate_greedy(_from_scipy(G), theta=theta)
                     agg = agg2[agg]
         n_c = int(agg.max()) + 1 if agg.size else 0
+        _mark("aggregate")
         if n_c >= A_k.shape[0] or n_c == 0:
             break  # aggregation stalled
         # Smoothed prolongator P = (I - omega/lmax D^-1 A) T, where T is the
@@ -690,15 +741,14 @@ def smoothed_aggregation_setup(
         counts = np.bincount(agg, minlength=n_c).astype(np.float64)
         d = A_k.diagonal()
         d = np.where(d != 0, d, 1.0)
-        if use_fine_op and len(levels) == 0 and A_k.shape[0] > 4_000_000:
-            # 20 power iterations through the device fine operator instead
-            # of host scipy matvecs (~16 s at 10M DOF).  Gated high: the
-            # loop is its own jit program (~2-5 s compile through the
-            # tunnel), so it only pays above a few M rows; smaller
-            # hierarchies stay bit-identical to the host build.
-            lmax = _lmax_dinv_a_op(fine_operator, A_k.shape[0])
-        else:
-            lmax = _lmax_dinv_a_host(A_k)
+        # Host power method (f32 fast path above 4M rows inside).  A
+        # device-side version was measured and REVERTED: one fused jit
+        # program stalled >15 min in the remote-compile helper at 10M
+        # shapes, and the eager form paid ~100 dispatches x ~1 s tunnel
+        # latency (109 s vs 12 s host) — setup must not depend on the
+        # tunnel's dispatch/compile state.
+        lmax = _lmax_dinv_a_host(A_k)
+        _mark("lmax")
         if level_info_out is not None:
             # Distributed-hierarchy builders (parallel/haloamg.py,
             # parallel/slabamg.py) consume the raw per-level setup pieces.
@@ -725,6 +775,7 @@ def smoothed_aggregation_setup(
             Dinv = sp.diags(1.0 / d)
             P = (T - (omega / lmax) * (Dinv @ (A_k @ T))).tocsr()
             P.sort_indices()
+        _mark("prolongator")
         # Galerkin product natively (fused Gustavson P^T A P,
         # ddps_native.cpp::rap_galerkin) — scipy's two spgemms dominated
         # setup at 1M+ DOF.  Results are identical up to f64 rounding.
@@ -748,6 +799,7 @@ def smoothed_aggregation_setup(
             # f32: tol=0.01 -> level-1 width 58->33, 7 CG iterations,
             # 3.7x faster V-cycle; tol>=0.05 over-weakens the hierarchy.
             A_c = _filter_weak_entries(A_c, filter_tol)
+        _mark("rap")  # noqa: E306 — after the optional filter either way
 
         n_pad_f = n_pads[-1]
         n_pad_c = pad_to(max(n_c, 1))
@@ -770,6 +822,7 @@ def smoothed_aggregation_setup(
             )
         if isinstance(lvl_A, ELLMatrix):
             lvl_A = _repad(lvl_A, n_pad_f)
+        _mark("level_op")
         from ...ops.dia import DIAMatrix
         from ...ops.stencil import StencilOperator
 
@@ -788,19 +841,41 @@ def smoothed_aggregation_setup(
             # restriction and read don't-care values harmlessly through
             # the gather).
             n_f = A_k.shape[0]
-            if isinstance(fine_operator, PadStencilOperator):
-                perm = fine_operator.space_map()
-            else:
-                perm = (
-                    np.asarray(fine_operator.perm)
-                    if fine_operator.perm is not None
-                    else np.arange(n_f)
+            pad_brick = (
+                isinstance(fine_operator, PadStencilOperator) and use_brick
+            )
+            if pad_brick and n_f > 4_000_000:
+                # Zero-upload level 0: tval (1/sqrt of clamped-brick
+                # aggregate sizes) is separable per axis, and scale /
+                # inv_diag derive from the operator's device diagonal —
+                # at 10M DOF the host path ships 3 x 50 MB dense vectors
+                # through a tunnel that moves 0.7-80 MB/s.  Gated with
+                # the device-lmax threshold so small hierarchies stay
+                # bit-identical to the host build (device f32 rsqrt /
+                # divide round differently by ~1 ulp).
+                tval_dev, scale_dev, inv_d_dev = _pad_brick_level0_device(
+                    fine_operator, brick, omega, lmax, jnp.dtype(dtype)
                 )
-            tval_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
-            tval_pad[perm] = 1.0 / np.sqrt(counts[agg])
-            scale_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
-            scale_pad[perm] = (omega / lmax) / d
-            if isinstance(fine_operator, PadStencilOperator) and use_brick:
+            else:
+                if isinstance(fine_operator, PadStencilOperator):
+                    perm = fine_operator.space_map()
+                else:
+                    perm = (
+                        np.asarray(fine_operator.perm)
+                        if fine_operator.perm is not None
+                        else np.arange(n_f)
+                    )
+                tval_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
+                tval_pad[perm] = 1.0 / np.sqrt(counts[agg])
+                scale_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
+                scale_pad[perm] = (omega / lmax) / d
+                tval_dev = jnp.asarray(tval_pad)
+                scale_dev = jnp.asarray(scale_pad)
+                inv_d_host = np.ones(n_pad_f, dtype=np.dtype(dtype))
+                dd = np.where(d != 0, d, 1.0)
+                inv_d_host[perm] = (1.0 / dd).astype(np.dtype(dtype))
+                inv_d_dev = jnp.asarray(inv_d_host)
+            if pad_brick:
                 # Brick aggregates + pad-space layout: the tentative
                 # transfer is static reshapes in the operator's own 3-D
                 # space — no take/segment_sum over the padded vector.
@@ -808,8 +883,8 @@ def smoothed_aggregation_setup(
                     fine_operator.dims
                 )
                 P_fact = PadBrickProlongator(
-                    tval=jnp.asarray(tval_pad),
-                    scale=jnp.asarray(scale_pad),
+                    tval=tval_dev,
+                    scale=scale_dev,
                     A=lvl_A,
                     dims=tuple(int(v) for v in grid_dims),
                     brick=brick,
@@ -820,27 +895,25 @@ def smoothed_aggregation_setup(
                 agg_pad[perm] = agg
                 P_fact = FactoredProlongator(
                     agg=jnp.asarray(agg_pad),
-                    tval=jnp.asarray(tval_pad),
-                    scale=jnp.asarray(scale_pad),
+                    tval=tval_dev,
+                    scale=scale_dev,
                     A=lvl_A,
                     n_pad_c=n_pad_c,
                 )
             P_op = P_fact
             R_op = FactoredRestriction(P=P_fact)
-            inv_d_host = np.ones(n_pad_f, dtype=np.dtype(dtype))
-            dd = np.where(d != 0, d, 1.0)
-            inv_d_host[perm] = (1.0 / dd).astype(np.dtype(dtype))
             lvl = AMGLevel(
                 A=lvl_A,
                 P=P_op,
                 R=R_op,
-                inv_diag=jnp.asarray(inv_d_host),
+                inv_diag=inv_d_dev,
                 lmax=jnp.asarray(lmax, dtype),
                 n_rows=A_k.shape[0],
             )
             levels.append(lvl)
             A_k = A_c
             n_pads.append(n_pad_c)
+            _mark("transfers")
             continue
 
         if isinstance(lvl_A, (DIAMatrix, StencilOperator)) and factored_transfers:
@@ -892,6 +965,7 @@ def smoothed_aggregation_setup(
         levels.append(lvl)
         A_k = A_c
         n_pads.append(n_pad_c)
+        _mark("transfers")
 
     # Dense coarse solve, padded with identity outside the logical block.
     nc = A_k.shape[0]
@@ -916,6 +990,7 @@ def smoothed_aggregation_setup(
     dense = np.eye(n_pad_c)
     dense[:nc, :nc] = A_k.toarray()
     coarse_inv = jnp.asarray(np.linalg.inv(dense).astype(np.dtype(dtype)))
+    _mark("coarse")
     return AMGPreconditioner(
         levels=levels,
         coarse_inv=coarse_inv,

@@ -175,6 +175,87 @@ def test_amg_through_pad_stencil_matches_identity_layout():
     assert not np.any(np.asarray(r_pad.x)[mask == 0])
 
 
+def test_sparse_corr_and_put_vector_sparse_match_dense():
+    """At grid sizes where the boundary correction is <25% nonzero, corr
+    ships as a sparse device scatter and RHS vectors may use
+    put_vector_sparse — both must be bit-identical to the dense path."""
+    mesh = box_mesh(32, 32, 32, elem_type="TETRA4")
+    s = assemble_heat_system(mesh)
+    dims = infer_free_grid(mesh, s.free_to_node)
+    from domain_decomposed_pde_solver_tpu.ops.dia import pack_dia_host
+    from domain_decomposed_pde_solver_tpu.ops.stencil import (
+        stencil_parts_from_packed,
+    )
+    from domain_decomposed_pde_solver_tpu.ops.pallas.stencil_kernel import (
+        pad_stencil_from_parts,
+    )
+
+    uniq, data = pack_dia_host(s.A, dtype=jnp.float32)
+    parts = stencil_parts_from_packed(uniq, data, s.n_free, dims)
+    assert parts is not None
+    corr = parts["corr_pad"][: s.n_free]
+    assert 0 < np.count_nonzero(corr) < 0.25 * s.n_free  # sparse path fires
+    A = pad_stencil_from_parts(parts)
+    # dense-embedded corr for comparison
+    dense = np.zeros((A.Z, A.myp, A.mxp), np.float32)
+    mx, my, mz = A.dims
+    dense[1 : mz + 1, 1 : my + 1, :mx] = corr.reshape(mz, my, mx)
+    np.testing.assert_array_equal(
+        np.asarray(A.corr, dtype=np.float32), dense.reshape(-1)
+    )
+    # put_vector_sparse == put_vector on a boundary-sparse RHS
+    np.testing.assert_array_equal(
+        np.asarray(A.put_vector_sparse(s.b.astype(np.float32))),
+        np.asarray(A.put_vector(s.b.astype(np.float32))),
+    )
+    # and on a dense vector (falls back to the dense upload)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(s.n_free).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(A.put_vector_sparse(v)), np.asarray(A.put_vector(v))
+    )
+
+
+def test_pad_brick_level0_device_matches_host():
+    """The >4M zero-upload level-0 path: device-computed tval/scale/
+    inv_diag must match the host scatters (up to f32 rounding of rsqrt)."""
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import (
+        _pad_brick_level0_device, brick_aggregate,
+    )
+
+    mesh = box_mesh(20, 17, 15, elem_type="HEX8")
+    s = assemble_heat_system(mesh)
+    dims = infer_free_grid(mesh, s.free_to_node)
+    st = choose_operator(s.A, dtype=jnp.float32, grid_dims=dims)
+    A = pad_stencil_from_stencil(st, bz=4)
+    brick = 6
+    agg = brick_aggregate(dims, brick)
+    counts = np.bincount(agg, minlength=int(agg.max()) + 1).astype(np.float64)
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((s.A.data, s.A.indices, s.A.indptr), shape=s.A.shape)
+    d = S.diagonal()
+    d = np.where(d != 0, d, 1.0)
+    lmax, omega = 1.7, 4.0 / 3.0
+    perm = A.space_map()
+    tval_h = np.zeros(A.n_pad, np.float32)
+    tval_h[perm] = 1.0 / np.sqrt(counts[agg])
+    scale_h = np.zeros(A.n_pad, np.float32)
+    scale_h[perm] = (omega / lmax) / d
+    inv_h = np.zeros(A.n_pad, np.float32)
+    inv_h[perm] = 1.0 / d
+    tval_d, scale_d, inv_d = _pad_brick_level0_device(
+        A, brick, omega, lmax, jnp.dtype(jnp.float32)
+    )
+    np.testing.assert_allclose(np.asarray(tval_d), tval_h, rtol=1e-6)
+    mask = np.asarray(A.pad_mask()) > 0
+    np.testing.assert_allclose(
+        np.asarray(scale_d)[mask], scale_h[mask], rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(inv_d)[mask], inv_h[mask],
+                               rtol=1e-6)
+
+
 def test_corr_storage_bf16_exact_only():
     _, _, A = _build((8, 8, 8))
     # Heat-Laplacian corrections are small integers -> bf16-exact storage.
