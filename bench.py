@@ -255,11 +255,21 @@ def main():
         sys1m.A, dtype=jnp.float32, grid_dims=dims1m, pad_stencil="auto"
     )
     extra["box1m_format"] = type(A1m).__name__
-    x1m = A1m.put_vector(
-        np.random.default_rng(0).standard_normal(sys1m.n_free).astype(
-            np.float32
+    if hasattr(A1m, "pad_mask"):
+        # Generate on device: a 4 MB host upload costs seconds when the
+        # tunnel degrades (measured as low as 0.7 MB/s).
+        x1m = (
+            jax.random.normal(
+                jax.random.PRNGKey(0), (A1m.n_pad,), jnp.float32
+            )
+            * A1m.pad_mask()
         )
-    )
+    else:
+        x1m = A1m.put_vector(
+            np.random.default_rng(0).standard_normal(sys1m.n_free).astype(
+                np.float32
+            )
+        )
     # 64 chained iterations amortize the per-dispatch/sync overhead of the
     # tunneled device (16 iters inflated per-SpMV time by ~2x).
     # Re-measure the stream ceiling next to this section: the tunneled
@@ -403,7 +413,11 @@ def main():
         fine_operator=A1m if isinstance(A1m, PadStencilOperator) else None,
     )
     extra["amg_setup_s_box1m"] = time.perf_counter() - t0
-    b1m = A1m.put_vector(sys1m.b.astype(np.float32))
+    b1m = (
+        A1m.put_vector_sparse(sys1m.b.astype(np.float32))
+        if hasattr(A1m, "put_vector_sparse")
+        else A1m.put_vector(sys1m.b.astype(np.float32))
+    )
     b1s = b1m / float(np.abs(sys1m.b).max())
     amg_solve = lambda: cg_solve(
         A1m, b1s, jnp.zeros_like(b1s), precond=M1m, tol=1e-6, maxiter=200
@@ -427,7 +441,11 @@ def main():
         )
 
         b64host = sys1m.b.astype(np.float64)
-        b1dev = A1m.put_vector(b64host, dtype=np.float64)
+        b1dev = (
+            A1m.put_vector_sparse(b64host, dtype=np.float64)
+            if hasattr(A1m, "put_vector_sparse")
+            else A1m.put_vector(b64host, dtype=np.float64)
+        )
         mkw = dict(
             tol=1e-8, inner_tol=1e-6, inner_maxiter=200,
             precond=M1m, operator=A1m, b_device=b1dev,
