@@ -109,3 +109,31 @@ def test_full_laplacian_rowsums_zero(data_dir):
     S = L.to_scipy()
     np.testing.assert_allclose(np.asarray(S.sum(axis=1)).ravel(), 0.0)
     assert abs(S - S.T).max() == 0
+
+
+@pytest.mark.parametrize("name", ["tet-cube-heat.exo", "2blocks.exo",
+                                  "brick.exo"])
+def test_native_assembly_bit_identical_to_numpy(data_dir, name, monkeypatch):
+    """The native single-scan assembly (ddps_native.cpp::assemble_reduced)
+    must reproduce the vectorized NumPy path bit-for-bit: CSR structure,
+    values, RHS, degree, and the boundary-edge lists."""
+    import domain_decomposed_pde_solver_tpu.models.heat as heat
+
+    mesh = read_exodus(str(data_dir / name))
+    s_nat = heat.assemble_heat_system(mesh)
+    monkeypatch.setattr(heat, "_adjacency_csr_native", lambda *a: None)
+    s_np = heat.assemble_heat_system(mesh)
+    np.testing.assert_array_equal(s_nat.A.indptr, s_np.A.indptr)
+    np.testing.assert_array_equal(s_nat.A.indices, s_np.A.indices)
+    np.testing.assert_array_equal(s_nat.A.data, s_np.A.data)
+    np.testing.assert_array_equal(s_nat.b, s_np.b)
+    np.testing.assert_array_equal(s_nat.degree, s_np.degree)
+    # boundary edge lists: same multiset per row (order within a row may
+    # differ between the scan and the masked-edge form)
+    def key(r, c):
+        return np.sort(r.astype(np.int64) * (mesh.num_nodes + 1) + c)
+
+    np.testing.assert_array_equal(
+        key(s_nat.bdry_rows, s_nat.bdry_cols),
+        key(s_np.bdry_rows, s_np.bdry_cols),
+    )
