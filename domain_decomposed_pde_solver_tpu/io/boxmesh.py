@@ -48,52 +48,43 @@ def box_mesh(
     ``bc_ids[1]`` on the x=1 face (cf. tet-cube-heat's two 645-node sets).
     """
     mx, my, mz = nx + 1, ny + 1, nz + 1
-    # Node numbering: x fastest (node id = i + j*mx + k*mx*my).
+    # Node numbering: x fastest (node id = i + j*mx + k*mx*my).  Coords
+    # fill sequentially in node order (the earlier meshgrid + permuted
+    # scatter cost tens of seconds of page faults at 10M nodes).
     xs = np.linspace(0.0, 1.0, mx)
     ys = np.linspace(0.0, 1.0, my)
     zs = np.linspace(0.0, 1.0, mz)
-    ii, jj, kk = np.meshgrid(
-        np.arange(mx), np.arange(my), np.arange(mz), indexing="ij"
+    coords = np.empty((mx * my * mz, 3))
+    coords[:, 0] = np.tile(xs, my * mz)
+    coords[:, 1] = np.tile(np.repeat(ys, mx), mz)
+    coords[:, 2] = np.repeat(zs, mx * my)
+
+    # Cell order: meshgrid('ij').ravel() order, i.e. ck fastest, ci slowest.
+    ci = np.repeat(np.arange(nx, dtype=np.int64), ny * nz)
+    cj = np.tile(np.repeat(np.arange(ny, dtype=np.int64), nz), nx)
+    ck = np.tile(np.arange(nz, dtype=np.int64), nx * ny)
+
+    # Cell corner nodes, standard HEX8 ordering (bottom CCW, then top CCW):
+    # one broadcast add of the 8 corner offsets.
+    base = ci + cj * mx + ck * (mx * my)
+    offs = np.array(
+        [0, 1, 1 + mx, mx, 0, 1, 1 + mx, mx], dtype=np.int64
     )
-    nid = ii + jj * mx + kk * mx * my
-    coords = np.zeros((mx * my * mz, 3))
-    coords[nid.ravel(), 0] = xs[ii.ravel()]
-    coords[nid.ravel(), 1] = ys[jj.ravel()]
-    coords[nid.ravel(), 2] = zs[kk.ravel()]
-
-    # Cell corner nodes, standard HEX8 ordering (bottom CCW, then top CCW).
-    ci, cj, ck = np.meshgrid(
-        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
-    )
-    ci, cj, ck = ci.ravel(), cj.ravel(), ck.ravel()
-
-    def node(i, j, k):
-        return i + j * mx + k * mx * my
-
-    corners = np.stack(
-        [
-            node(ci, cj, ck),
-            node(ci + 1, cj, ck),
-            node(ci + 1, cj + 1, ck),
-            node(ci, cj + 1, ck),
-            node(ci, cj, ck + 1),
-            node(ci + 1, cj, ck + 1),
-            node(ci + 1, cj + 1, ck + 1),
-            node(ci, cj + 1, ck + 1),
-        ],
-        axis=1,
-    )  # (ncells, 8)
+    offs[4:] += mx * my
+    corners = base[:, None] + offs[None, :]  # (ncells, 8)
 
     if elem_type.upper().startswith("HEX"):
         conn = corners
         et = "HEX8"
     else:
-        parity = (ci + cj + ck) % 2
-        conn = np.zeros((corners.shape[0], 5, 4), dtype=np.int64)
-        for t, tet in enumerate(_TET5_EVEN):
-            conn[parity == 0, t] = corners[parity == 0][:, tet]
-        for t, tet in enumerate(_TET5_ODD):
-            conn[parity == 1, t] = corners[parity == 1][:, tet]
+        p0 = ((ci + cj + ck) % 2) == 0
+        # Per-parity contiguous subsets + one small-pattern gather each
+        # (a (ncells,5,4) index-map gather materialized 800 MB at 1M).
+        ev = np.asarray(_TET5_EVEN, dtype=np.int64).ravel()
+        od = np.asarray(_TET5_ODD, dtype=np.int64).ravel()
+        conn = np.empty((corners.shape[0], 5, 4), dtype=np.int64)
+        conn[p0] = corners[p0][:, ev].reshape(-1, 5, 4)
+        conn[~p0] = corners[~p0][:, od].reshape(-1, 5, 4)
         conn = conn.reshape(-1, 4)
         et = "TETRA4"
 
