@@ -54,6 +54,17 @@ def main():
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 217
     dev = jax.devices()[0]
+    if dev.platform != "tpu" and "--allow-cpu" not in sys.argv:
+        # A CPU-fallback 10M run takes ~an hour and would overwrite
+        # BENCH10M.json with meaningless timings; bail instead (the
+        # backend retry loop above already waited out a tunnel outage).
+        print(json.dumps({
+            "metric": "cg_amg_1e8_ms_10m", "value": None, "unit": "ms",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"no TPU after retries (got {dev.platform}); "
+                      "pass --allow-cpu to force"},
+        }))
+        return
     extra = {"device": str(dev), "device_kind": getattr(dev, "device_kind", "?")}
 
     t0 = time.perf_counter()
