@@ -152,7 +152,13 @@ def main(argv=None) -> int:
             )
             if cfg.verbose:
                 print(f"operator format: {type(A).__name__}")
-            b = A.put_vector(system.b.astype(np.dtype(dtype)))
+            b = (
+                # Boundary-sparse RHS: ship only the nonzeros when the
+                # operator supports it (~3% of rows at 10M DOF).
+                A.put_vector_sparse(system.b.astype(np.dtype(dtype)))
+                if hasattr(A, "put_vector_sparse")
+                else A.put_vector(system.b.astype(np.dtype(dtype)))
+            )
             x0 = A.put_vector(x0_host.astype(np.dtype(dtype)))
             precond = _make_precond(cfg, A, system)
             writer = ExodusSolutionWriter(cfg.solution, out_mesh)
