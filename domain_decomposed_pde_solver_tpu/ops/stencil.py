@@ -254,47 +254,61 @@ def stencil_parts_from_packed(
         return None
     diag_idx = taps.index((0, 0, 0))
 
-    data = np.asarray(data, dtype=np.float32)[:, :n]
-    i = np.arange(n)
-    ix = i % mx
-    r = i // mx
-    iy = r % my
-    iz = r // my
+    data_full = np.ascontiguousarray(data, dtype=np.float32)
+    data = data_full[:, :n]
+    _lazy = {}
+
+    def _idx():  # n-sized index arrays, only for the NumPy fallback
+        if not _lazy:
+            i = np.arange(n)
+            _lazy["ix"] = i % mx
+            r = i // mx
+            _lazy["iy"] = r % my
+            _lazy["iz"] = r // my
+        return _lazy["ix"], _lazy["iy"], _lazy["iz"]
+
+    from ..utils.native import stencil_verify_corr_native
 
     for period in (1, 2):
         p = period
-        cls = (iz % p) * p * p + (iy % p) * p + (ix % p)
-        interior = (
-            (ix >= 2) & (ix < mx - 2)
-            & (iy >= 2) & (iy < my - 2)
-            & (iz >= 2) & (iz < mz - 2)
-        )
         C = p * p * p
-        stencil = np.zeros((C, len(offsets)), dtype=np.float32)
-        ok = True
+        # Class table from the analytic first-interior sample per class —
+        # the lexicographically first i with 2 <= ix,iy,iz < m-2 and the
+        # right parities (identical to the nonzero()-scan choice; the
+        # min(m) >= 7 guard makes it always exist).
+        stencil = np.empty((C, len(offsets)), dtype=np.float32)
         for c in range(C):
-            sel = np.nonzero(interior & (cls == c))[0]
-            if sel.size == 0:
-                ok = False
-                break
-            stencil[c] = data[:, sel[0]]
-        if not ok:
-            continue
-        for d in range(len(taps)):
-            if d == diag_idx:
+            pz, py_, px = c // (p * p), (c // p) % p, c % p
+            sz = 2 + ((pz - 2) % p)
+            sy = 2 + ((py_ - 2) % p)
+            sx = 2 + ((px - 2) % p)
+            stencil[c] = data[:, sx + mx * (sy + my * sz)]
+        res = stencil_verify_corr_native(
+            data_full, (mx, my, mz), p, taps, diag_idx, stencil
+        )
+        if res is not None:
+            ok, corr = res
+            if not ok:
                 continue
-            dx, dy, dz = taps[d]
-            in_range = (
-                (ix + dx >= 0) & (ix + dx < mx)
-                & (iy + dy >= 0) & (iy + dy < my)
-                & (iz + dz >= 0) & (iz + dz < mz)
-            )
-            if not np.array_equal(data[d], stencil[cls, d] * in_range):
-                ok = False
-                break
-        if not ok:
-            continue
-        corr = data[diag_idx] - stencil[cls, diag_idx]
+        else:
+            ix, iy, iz = _idx()
+            cls = (iz % p) * p * p + (iy % p) * p + (ix % p)
+            ok = True
+            for d in range(len(taps)):
+                if d == diag_idx:
+                    continue
+                dx, dy, dz = taps[d]
+                in_range = (
+                    (ix + dx >= 0) & (ix + dx < mx)
+                    & (iy + dy >= 0) & (iy + dy < my)
+                    & (iz + dz >= 0) & (iz + dz < mz)
+                )
+                if not np.array_equal(data[d], stencil[cls, d] * in_range):
+                    ok = False
+                    break
+            if not ok:
+                continue
+            corr = data[diag_idx] - stencil[cls, diag_idx]
         pats = np.zeros((len(taps), p, p, p), dtype=np.float32)
         for c in range(C):
             pz, py_, px = c // (p * p), (c // p) % p, c % p

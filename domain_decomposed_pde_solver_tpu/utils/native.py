@@ -113,6 +113,11 @@ def load_native() -> Optional[ctypes.CDLL]:
             _i64p, _i64p, _f64p, _i64, ctypes.c_double, ctypes.c_double,
             _i64p, _i64p, _f64p, _i64p, _i64p, _f64p, _f64p,
         ]
+        lib.stencil_verify_corr.restype = _i64
+        lib.stencil_verify_corr.argtypes = [
+            _f32p, _i64, _i64, _i64, _i64, _i64, _i64, _i64p, _i64,
+            _f32p, _f32p,
+        ]
         lib.assemble_reduced.restype = _i64
         lib.assemble_reduced.argtypes = [
             _i64p, _i64p, _i64, _u8p, _i64p, _f64p, _i64p,
@@ -201,6 +206,25 @@ def assemble_reduced_native(adj_ptr, adj_idx, n, free_mask, node_to_free,
         bdry_cols.ctypes.data_as(ctypes.c_void_p),
     )
     return indptr, indices, data, b, bdry_rows, bdry_cols
+
+
+def stencil_verify_corr_native(data, dims, period, taps, diag_idx, pats):
+    """Exact per-entry stencil verification + correction extraction on the
+    packed (ndiags, n_pad) f32 DIA array; (ok, corr) or None if unavailable.
+    ``pats``: (period^3, ndiags) f32 class table."""
+    lib = load_native()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.float32)
+    taps_a = np.ascontiguousarray(np.asarray(taps, np.int64).reshape(-1, 3))
+    pats = np.ascontiguousarray(pats, np.float32)
+    mx, my, mz = (int(v) for v in dims)
+    corr = np.empty(mx * my * mz, dtype=np.float32)
+    ok = lib.stencil_verify_corr(
+        data, data.shape[1], data.shape[0], mx, my, mz, int(period),
+        taps_a, int(diag_idx), pats, corr,
+    )
+    return bool(ok), corr
 
 
 def dual_graph_native(conn: np.ndarray, n: int, ncommon: int):

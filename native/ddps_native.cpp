@@ -717,6 +717,50 @@ int64_t bsg_assign(const int64_t* rows, const int64_t* cols, int64_t nnz,
 }
 
 // ---------------------------------------------------------------------------
+// Lattice-stencil verification + correction extraction on the packed DIA
+// array: checks data[d][i] == pats[cls(i)][d] * in_range(i, tap d) exactly
+// (off-diagonals), fills corr[i] = data[diag][i] - pats[cls(i)][diag], and
+// returns 1 on success / 0 on the first mismatch.  One contiguous pass per
+// diagonal — the NumPy form allocated ~3 n-sized temporaries per tap
+// (~6 s at 10M DOF).
+// ---------------------------------------------------------------------------
+int64_t stencil_verify_corr(const float* data, int64_t stride, int64_t nd,
+                            int64_t mx, int64_t my, int64_t mz, int64_t p,
+                            const int64_t* taps /* nd x 3: dx,dy,dz */,
+                            int64_t diag_idx,
+                            const float* pats /* (p*p*p) x nd */,
+                            float* corr /* n out */) {
+  const int64_t n = mx * my * mz;
+  for (int64_t d = 0; d < nd; ++d) {
+    const float* row = data + d * stride;
+    const int64_t dx = taps[d * 3], dy = taps[d * 3 + 1],
+                  dz = taps[d * 3 + 2];
+    const bool is_diag = (d == diag_idx);
+    int64_t i = 0;
+    for (int64_t iz = 0; iz < mz; ++iz) {
+      const bool okz = (iz + dz >= 0) && (iz + dz < mz);
+      for (int64_t iy = 0; iy < my; ++iy) {
+        const bool oky = okz && (iy + dy >= 0) && (iy + dy < my);
+        const int64_t cls_base = ((iz % p) * p + (iy % p)) * p;
+        for (int64_t ix = 0; ix < mx; ++ix, ++i) {
+          const float pat = pats[(cls_base + ix % p) * nd + d];
+          if (is_diag) {
+            corr[i] = row[i] - pat;
+          } else {
+            const bool in_range =
+                oky && (ix + dx >= 0) && (ix + dx < mx);
+            const float expected = in_range ? pat : 0.0f;
+            if (row[i] != expected) return 0;
+          }
+        }
+      }
+    }
+    (void)n;
+  }
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
 // Reduced-Laplacian assembly from the node adjacency: for every FREE node u
 // emit row r = node_to_free[u] with -1 per free neighbor, the total neighbor
 // count (free + boundary) on the diagonal at its sorted column position, and
