@@ -59,32 +59,40 @@ def box_mesh(
     coords[:, 1] = np.tile(np.repeat(ys, mx), mz)
     coords[:, 2] = np.repeat(zs, mx * my)
 
+    # int32 node ids whenever they fit (meshes past 2^31 nodes are out of
+    # scope): connectivity is the largest array this function writes, and
+    # the native adjacency/assembly kernels have int32 fast paths — at 10M
+    # DOF the dtype alone halves ~4 GB of freshly-faulted pages.
+    idt = np.int32 if mx * my * mz < 2**31 else np.int64
     # Cell order: meshgrid('ij').ravel() order, i.e. ck fastest, ci slowest.
-    ci = np.repeat(np.arange(nx, dtype=np.int64), ny * nz)
-    cj = np.tile(np.repeat(np.arange(ny, dtype=np.int64), nz), nx)
-    ck = np.tile(np.arange(nz, dtype=np.int64), nx * ny)
+    ci = np.repeat(np.arange(nx, dtype=idt), ny * nz)
+    cj = np.tile(np.repeat(np.arange(ny, dtype=idt), nz), nx)
+    ck = np.tile(np.arange(nz, dtype=idt), nx * ny)
 
-    # Cell corner nodes, standard HEX8 ordering (bottom CCW, then top CCW):
-    # one broadcast add of the 8 corner offsets.
-    base = ci + cj * mx + ck * (mx * my)
+    # Cell corner nodes, standard HEX8 ordering (bottom CCW, then top CCW).
+    base = ci + cj * idt(mx) + ck * idt(mx * my)
     offs = np.array(
-        [0, 1, 1 + mx, mx, 0, 1, 1 + mx, mx], dtype=np.int64
+        [0, 1, 1 + mx, mx, 0, 1, 1 + mx, mx], dtype=idt
     )
     offs[4:] += mx * my
-    corners = base[:, None] + offs[None, :]  # (ncells, 8)
 
     if elem_type.upper().startswith("HEX"):
-        conn = corners
+        conn = base[:, None] + offs[None, :]  # (ncells, 8)
         et = "HEX8"
     else:
-        p0 = ((ci + cj + ck) % 2) == 0
-        # Per-parity contiguous subsets + one small-pattern gather each
-        # (a (ncells,5,4) index-map gather materialized 800 MB at 1M).
-        ev = np.asarray(_TET5_EVEN, dtype=np.int64).ravel()
-        od = np.asarray(_TET5_ODD, dtype=np.int64).ravel()
-        conn = np.empty((corners.shape[0], 5, 4), dtype=np.int64)
-        conn[p0] = corners[p0][:, ev].reshape(-1, 5, 4)
-        conn[~p0] = corners[~p0][:, od].reshape(-1, 5, 4)
+        # Tet corner offsets as a 2-row parity table; one contiguous-row
+        # take + an in-place broadcast add.  (The earlier per-parity
+        # boolean gathers copied `corners` twice — ~2.5 GB of strided
+        # fancy-indexing at 10M DOF.)
+        tbl = np.stack(
+            [
+                offs[np.asarray(_TET5_EVEN, dtype=np.int64)],
+                offs[np.asarray(_TET5_ODD, dtype=np.int64)],
+            ]
+        )  # (2, 5, 4)
+        par = ((ci + cj + ck) & 1).astype(np.int8)
+        conn = tbl.take(par, axis=0)  # (ncells, 5, 4)
+        conn += base[:, None, None]
         conn = conn.reshape(-1, 4)
         et = "TETRA4"
 

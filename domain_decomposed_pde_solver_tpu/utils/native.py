@@ -76,6 +76,10 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.node_adjacency_cap.argtypes = [
             _i64p, _i64, _i64, _i64, _i64, _i64p, _i64p,
         ]
+        lib.node_adjacency_cap_i32.restype = _i64
+        lib.node_adjacency_cap_i32.argtypes = [
+            _i32p, _i64, _i64, _i64, _i64, _i64p, _i32p,
+        ]
         lib.dual_graph.restype = _i64
         lib.dual_graph.argtypes = [_i64p, _i64, _i64, _i64, _i64, _i64p, ctypes.c_void_p]
         lib.aggregate_greedy.restype = _i64
@@ -124,6 +128,16 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.assemble_reduced_i32.restype = _i64
+        lib.assemble_reduced_i32.argtypes = [
+            _i64p, _i32p, _i64, _u8p, _i32p, _f64p, _i64p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.pack_dia_f32_i32.restype = _i64
+        lib.pack_dia_f32_i32.argtypes = [
+            _i64p, _i32p, _f64p, _i64, _i64, _i64, _i64p, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -148,18 +162,27 @@ def node_adjacency_native(conn: np.ndarray, n: int):
     lib = load_native()
     if lib is None:
         return None
-    conn = np.ascontiguousarray(conn, dtype=np.int64)
+    # int32 fast path: conn already int32 (box_mesh emits it) and every id
+    # fits — halves the conn/incidence/indices traffic, which is what the
+    # kernel is bound by on this host (first-touch faults + cache misses).
+    use_i32 = (
+        conn.dtype == np.int32 and n < 2**31 and conn.shape[0] < 2**31
+    )
+    idt = np.int32 if use_i32 else np.int64
+    conn = np.ascontiguousarray(conn, dtype=idt)
     num_elem, npe = conn.shape
     indptr = np.zeros(n + 1, dtype=np.int64)
     # 32 unique neighbors/node covers linear elements (tets ~15, hex ~26);
     # denser connectivity (HEX27 etc.) falls back to the two-pass form.
     cap = min(num_elem * npe * (npe - 1), 32 * n)
-    indices = np.empty(max(cap, 1), dtype=np.int64)
-    nnz = lib.node_adjacency_cap(conn, num_elem, npe, n, cap, indptr, indices)
+    indices = np.empty(max(cap, 1), dtype=idt)
+    fn = lib.node_adjacency_cap_i32 if use_i32 else lib.node_adjacency_cap
+    nnz = fn(conn, num_elem, npe, n, cap, indptr, indices)
     if nnz >= 0:
         # Contiguous view, no copy: the untouched tail pages of the
         # over-allocated buffer never fault, so physical memory ~= nnz*8.
         return indptr, indices[:nnz]
+    conn = np.ascontiguousarray(conn, dtype=np.int64)
     nnz = lib.node_adjacency(conn, num_elem, npe, n, indptr, None)
     indices = np.zeros(nnz, dtype=np.int64)
     lib.node_adjacency(
@@ -177,13 +200,21 @@ def assemble_reduced_native(adj_ptr, adj_idx, n, free_mask, node_to_free,
     lib = load_native()
     if lib is None:
         return None
+    # int32 fast path when the adjacency indices are already int32 (the
+    # capacity-bounded adjacency above emits them for int32 conn): halves
+    # the dominant output streams (indices + boundary pairs).
+    use_i32 = (
+        np.asarray(adj_idx).dtype == np.int32 and n < 2**31
+    )
+    idt = np.int32 if use_i32 else np.int64
     adj_ptr = np.ascontiguousarray(adj_ptr, np.int64)
-    adj_idx = np.ascontiguousarray(adj_idx, np.int64)
+    adj_idx = np.ascontiguousarray(adj_idx, idt)
     free_mask = np.ascontiguousarray(free_mask, np.uint8)
-    node_to_free = np.ascontiguousarray(node_to_free, np.int64)
+    node_to_free = np.ascontiguousarray(node_to_free, idt)
     bval = np.ascontiguousarray(bval, np.float64)
     indptr = np.zeros(n_free + 1, dtype=np.int64)
-    nnz = lib.assemble_reduced(
+    fn = lib.assemble_reduced_i32 if use_i32 else lib.assemble_reduced
+    nnz = fn(
         adj_ptr, adj_idx, n, free_mask, node_to_free, bval, indptr,
         None, None, None, None, None,
     )
@@ -192,12 +223,12 @@ def assemble_reduced_native(adj_ptr, adj_idx, n, free_mask, node_to_free,
         adj_ptr[1:][free_mask.view(bool)] - adj_ptr[:-1][free_mask.view(bool)]
     )
     nbdry = int(free_deg.sum()) - (nnz - n_free)
-    indices = np.empty(nnz, dtype=np.int64)
+    indices = np.empty(nnz, dtype=idt)
     data = np.empty(nnz, dtype=np.float64)
     b = np.zeros(n_free, dtype=np.float64)
-    bdry_rows = np.empty(nbdry, dtype=np.int64)
-    bdry_cols = np.empty(nbdry, dtype=np.int64)
-    lib.assemble_reduced(
+    bdry_rows = np.empty(nbdry, dtype=idt)
+    bdry_cols = np.empty(nbdry, dtype=idt)
+    fn(
         adj_ptr, adj_idx, n, free_mask, node_to_free, bval, indptr,
         indices.ctypes.data_as(ctypes.c_void_p),
         data.ctypes.data_as(ctypes.c_void_p),
@@ -408,15 +439,18 @@ def pack_dia_native(indptr, indices, data, n, n_pad, max_diags):
     lib = load_native()
     if lib is None or n == 0:
         return None
+    use_i32 = np.asarray(indices).dtype == np.int32 and n < 2**31
+    idt = np.int32 if use_i32 else np.int64
     indptr = np.ascontiguousarray(indptr, np.int64)
-    indices = np.ascontiguousarray(indices, np.int64)
+    indices = np.ascontiguousarray(indices, idt)
     data = np.ascontiguousarray(data, np.float64)
     offsets = np.zeros(max_diags + 1, dtype=np.int64)
-    nd = lib.pack_dia_f32(indptr, indices, data, n, n_pad, max_diags, offsets, None)
+    fn = lib.pack_dia_f32_i32 if use_i32 else lib.pack_dia_f32
+    nd = fn(indptr, indices, data, n, n_pad, max_diags, offsets, None)
     if nd < 0:
         return "toomany"
     out = np.zeros((nd, n_pad), dtype=np.float32)
-    lib.pack_dia_f32(
+    fn(
         indptr, indices, data, n, n_pad, nd, offsets,
         out.ctypes.data_as(ctypes.c_void_p),
     )

@@ -19,6 +19,183 @@
 #include <unordered_map>
 #include <vector>
 
+// ---------------------------------------------------------------------------
+// Index-type-templated cores for the hottest kernels.  At 10M DOF the host
+// pipeline is memory-traffic-bound (this VM's first-touch fault rate swings
+// 0.15-2 GB/s): int32 connectivity/indices halve every stream and every
+// freshly-faulted output page, so the wrappers below export both an int64
+// and an int32 ABI and the Python layer dispatches on the array dtypes.
+// ---------------------------------------------------------------------------
+namespace {
+
+template <typename TIdx>
+void build_node_elem_csr_t(const TIdx* conn, int64_t num_elem, int64_t npe,
+                           int64_t n, std::vector<int64_t>& ne_ptr,
+                           std::vector<TIdx>& ne_elems) {
+  ne_ptr.assign(n + 1, 0);
+  const int64_t total = num_elem * npe;
+  for (int64_t i = 0; i < total; ++i) ne_ptr[conn[i] + 1]++;
+  for (int64_t i = 0; i < n; ++i) ne_ptr[i + 1] += ne_ptr[i];
+  ne_elems.resize(total);
+  std::vector<int64_t> cursor(ne_ptr.begin(), ne_ptr.end() - 1);
+  for (int64_t e = 0; e < num_elem; ++e)
+    for (int64_t k = 0; k < npe; ++k)
+      ne_elems[cursor[conn[e * npe + k]]++] = static_cast<TIdx>(e);
+}
+
+// Capacity-bounded single-pass adjacency.  Dedup is an insertion into a
+// small sorted stack buffer (rows are ~15-26 wide for linear elements;
+// binary search + memmove beats the former sort/unique of the ~60-entry
+// duplicated candidate list).  Rows wider than the buffer fall back to
+// sort/unique per row; result is byte-identical either way.
+template <typename TIdx>
+int64_t node_adjacency_cap_t(const TIdx* conn, int64_t num_elem, int64_t npe,
+                             int64_t n, int64_t cap, int64_t* indptr,
+                             TIdx* indices) {
+  std::vector<int64_t> ne_ptr;
+  std::vector<TIdx> ne_elems;
+  build_node_elem_csr_t(conn, num_elem, npe, n, ne_ptr, ne_elems);
+
+  constexpr int kBuf = 128;
+  TIdx row[kBuf];
+  std::vector<TIdx> widebuf;
+  int64_t nnz = 0;
+  indptr[0] = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    const TIdx vt = static_cast<TIdx>(v);
+    int m = 0;
+    bool wide = false;
+    for (int64_t p = ne_ptr[v]; p < ne_ptr[v + 1] && !wide; ++p) {
+      const TIdx* elem = conn + static_cast<int64_t>(ne_elems[p]) * npe;
+      for (int64_t k = 0; k < npe; ++k) {
+        const TIdx u = elem[k];
+        if (u == vt) continue;
+        int lo = 0, hi = m;
+        while (lo < hi) {
+          const int mid = (lo + hi) >> 1;
+          if (row[mid] < u) lo = mid + 1; else hi = mid;
+        }
+        if (lo < m && row[lo] == u) continue;
+        if (m == kBuf) { wide = true; break; }
+        std::memmove(row + lo + 1, row + lo, (m - lo) * sizeof(TIdx));
+        row[lo] = u;
+        ++m;
+      }
+    }
+    if (wide) {
+      widebuf.clear();
+      for (int64_t p = ne_ptr[v]; p < ne_ptr[v + 1]; ++p) {
+        const TIdx* elem = conn + static_cast<int64_t>(ne_elems[p]) * npe;
+        for (int64_t k = 0; k < npe; ++k)
+          if (elem[k] != vt) widebuf.push_back(elem[k]);
+      }
+      std::sort(widebuf.begin(), widebuf.end());
+      widebuf.erase(std::unique(widebuf.begin(), widebuf.end()),
+                    widebuf.end());
+      if (nnz + static_cast<int64_t>(widebuf.size()) > cap) return -1;
+      std::memcpy(indices + nnz, widebuf.data(),
+                  widebuf.size() * sizeof(TIdx));
+      nnz += static_cast<int64_t>(widebuf.size());
+    } else {
+      if (nnz + m > cap) return -1;
+      std::memcpy(indices + nnz, row, m * sizeof(TIdx));
+      nnz += m;
+    }
+    indptr[v + 1] = nnz;
+  }
+  return nnz;
+}
+
+template <typename TIdx>
+int64_t assemble_reduced_t(const int64_t* adj_ptr, const TIdx* adj_idx,
+                           int64_t n, const uint8_t* free_mask,
+                           const TIdx* node_to_free, const double* bval,
+                           int64_t* indptr, TIdx* indices, double* data,
+                           double* b, TIdx* bdry_rows, TIdx* bdry_cols) {
+  if (indices == nullptr) {
+    int64_t nnz = 0, r = 0;
+    indptr[0] = 0;
+    for (int64_t u = 0; u < n; ++u) {
+      if (!free_mask[u]) continue;
+      int64_t row_nnz = 1;  // diagonal
+      for (int64_t p = adj_ptr[u]; p < adj_ptr[u + 1]; ++p)
+        row_nnz += free_mask[adj_idx[p]] ? 1 : 0;
+      nnz += row_nnz;
+      indptr[++r] = nnz;
+    }
+    return nnz;
+  }
+  int64_t pos = 0, r = 0, bpos = 0;
+  for (int64_t u = 0; u < n; ++u) {
+    if (!free_mask[u]) continue;
+    const int64_t lo = adj_ptr[u], hi = adj_ptr[u + 1];
+    double brhs = 0.0;
+    bool diag_done = false;
+    for (int64_t p = lo; p < hi; ++p) {
+      const TIdx v = adj_idx[p];
+      if (v > static_cast<TIdx>(u) && !diag_done) {
+        indices[pos] = static_cast<TIdx>(r);
+        data[pos] = static_cast<double>(hi - lo);  // degree: ALL neighbors
+        ++pos;
+        diag_done = true;
+      }
+      if (free_mask[v]) {
+        indices[pos] = node_to_free[v];
+        data[pos] = -1.0;
+        ++pos;
+      } else {
+        brhs += bval[v];
+        if (bdry_rows) {
+          bdry_rows[bpos] = static_cast<TIdx>(r);
+          bdry_cols[bpos] = v;
+          ++bpos;
+        }
+      }
+    }
+    if (!diag_done) {
+      indices[pos] = static_cast<TIdx>(r);
+      data[pos] = static_cast<double>(hi - lo);
+      ++pos;
+    }
+    b[r] = brhs;
+    ++r;
+  }
+  return pos;
+}
+
+template <typename TIdx>
+int64_t pack_dia_t(const int64_t* indptr, const TIdx* indices,
+                   const double* data, int64_t n, int64_t n_pad,
+                   int64_t max_diags, int64_t* offsets_out, float* data_out) {
+  std::vector<int32_t> lut(2 * n - 1, -1);
+  if (data_out == nullptr) {
+    int64_t ndiags = 0;
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+        const int64_t key = static_cast<int64_t>(indices[p]) - i + (n - 1);
+        if (lut[key] < 0) {
+          lut[key] = 1;
+          if (++ndiags > max_diags) return -1;
+        }
+      }
+    int64_t k = 0;
+    for (int64_t key = 0; key < 2 * n - 1; ++key)
+      if (lut[key] >= 0) offsets_out[k++] = key - (n - 1);
+    return ndiags;
+  }
+  const int64_t ndiags = max_diags;
+  for (int64_t d = 0; d < ndiags; ++d) lut[offsets_out[d] + (n - 1)] = d;
+  std::memset(data_out, 0, sizeof(float) * ndiags * n_pad);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int64_t d = lut[static_cast<int64_t>(indices[p]) - i + (n - 1)];
+      data_out[d * n_pad + i] = static_cast<float>(data[p]);
+    }
+  return ndiags;
+}
+
+}  // namespace
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -85,28 +262,16 @@ int64_t node_adjacency_cap(const int64_t* conn, int64_t num_elem, int64_t npe,
                            int64_t n, int64_t cap,
                            int64_t* indptr /* n+1, out */,
                            int64_t* indices /* cap, out */) {
-  std::vector<int64_t> ne_ptr, ne_elems;
-  build_node_elem_csr(conn, num_elem, npe, n, ne_ptr, ne_elems);
+  return node_adjacency_cap_t<int64_t>(conn, num_elem, npe, n, cap, indptr,
+                                       indices);
+}
 
-  std::vector<int64_t> scratch;
-  int64_t nnz = 0;
-  indptr[0] = 0;
-  for (int64_t v = 0; v < n; ++v) {
-    scratch.clear();
-    for (int64_t p = ne_ptr[v]; p < ne_ptr[v + 1]; ++p) {
-      const int64_t* elem = conn + ne_elems[p] * npe;
-      for (int64_t k = 0; k < npe; ++k)
-        if (elem[k] != v) scratch.push_back(elem[k]);
-    }
-    std::sort(scratch.begin(), scratch.end());
-    scratch.erase(std::unique(scratch.begin(), scratch.end()), scratch.end());
-    if (nnz + static_cast<int64_t>(scratch.size()) > cap) return -1;
-    std::memcpy(indices + nnz, scratch.data(),
-                scratch.size() * sizeof(int64_t));
-    nnz += static_cast<int64_t>(scratch.size());
-    indptr[v + 1] = nnz;
-  }
-  return nnz;
+int64_t node_adjacency_cap_i32(const int32_t* conn, int64_t num_elem,
+                               int64_t npe, int64_t n, int64_t cap,
+                               int64_t* indptr /* n+1, out */,
+                               int32_t* indices /* cap, out */) {
+  return node_adjacency_cap_t<int32_t>(conn, num_elem, npe, n, cap, indptr,
+                                       indices);
 }
 
 // ---------------------------------------------------------------------------
@@ -448,34 +613,19 @@ int64_t pack_dia_f32(const int64_t* indptr, const int64_t* indices,
                      const double* data, int64_t n, int64_t n_pad,
                      int64_t max_diags, int64_t* offsets_out,
                      float* data_out /* nullable, (ndiags, n_pad) */) {
-  // Offset lookup over [-(n-1), n-1], stored shifted by (n-1).
-  std::vector<int32_t> lut(2 * n - 1, -1);
-  if (data_out == nullptr) {
-    int64_t ndiags = 0;
-    for (int64_t i = 0; i < n; ++i)
-      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
-        const int64_t key = indices[p] - i + (n - 1);
-        if (lut[key] < 0) {
-          lut[key] = 1;
-          if (++ndiags > max_diags) return -1;
-        }
-      }
-    int64_t k = 0;
-    for (int64_t key = 0; key < 2 * n - 1; ++key)
-      if (lut[key] >= 0) offsets_out[k++] = key - (n - 1);
-    return ndiags;
-  }
-  // Fill pass: offsets_out holds the ascending diagonal list and the
-  // caller passes the actual diagonal count via max_diags.
-  const int64_t ndiags = max_diags;
-  for (int64_t d = 0; d < ndiags; ++d) lut[offsets_out[d] + (n - 1)] = d;
-  std::memset(data_out, 0, sizeof(float) * ndiags * n_pad);
-  for (int64_t i = 0; i < n; ++i)
-    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
-      const int64_t d = lut[indices[p] - i + (n - 1)];
-      data_out[d * n_pad + i] = static_cast<float>(data[p]);
-    }
-  return ndiags;
+  // Offset lookup over [-(n-1), n-1], stored shifted by (n-1).  Fill pass
+  // (data_out != nullptr): offsets_out holds the ascending diagonal list
+  // and the caller passes the actual diagonal count via max_diags.
+  return pack_dia_t<int64_t>(indptr, indices, data, n, n_pad, max_diags,
+                             offsets_out, data_out);
+}
+
+int64_t pack_dia_f32_i32(const int64_t* indptr, const int32_t* indices,
+                         const double* data, int64_t n, int64_t n_pad,
+                         int64_t max_diags, int64_t* offsets_out,
+                         float* data_out /* nullable, (ndiags, n_pad) */) {
+  return pack_dia_t<int32_t>(indptr, indices, data, n, n_pad, max_diags,
+                             offsets_out, data_out);
 }
 
 // ---------------------------------------------------------------------------
@@ -781,57 +931,26 @@ int64_t assemble_reduced(const int64_t* adj_ptr, const int64_t* adj_idx,
                          double* b /* nullable; n_free, out */,
                          int64_t* bdry_rows /* nullable; out */,
                          int64_t* bdry_cols /* nullable; out */) {
-  if (indices == nullptr) {
-    // Count pass: fills indptr, returns nnz.  The boundary-pair count is
-    // sum(row degrees) - (nnz - n_free), derivable by the caller.
-    int64_t nnz = 0, r = 0;
-    indptr[0] = 0;
-    for (int64_t u = 0; u < n; ++u) {
-      if (!free_mask[u]) continue;
-      int64_t row_nnz = 1;  // diagonal
-      for (int64_t p = adj_ptr[u]; p < adj_ptr[u + 1]; ++p)
-        row_nnz += free_mask[adj_idx[p]] ? 1 : 0;
-      nnz += row_nnz;
-      indptr[++r] = nnz;
-    }
-    return nnz;
-  }
-  int64_t pos = 0, r = 0, bpos = 0;
-  for (int64_t u = 0; u < n; ++u) {
-    if (!free_mask[u]) continue;
-    const int64_t lo = adj_ptr[u], hi = adj_ptr[u + 1];
-    double brhs = 0.0;
-    bool diag_done = false;
-    for (int64_t p = lo; p < hi; ++p) {
-      const int64_t v = adj_idx[p];
-      if (v > u && !diag_done) {
-        indices[pos] = r;
-        data[pos] = static_cast<double>(hi - lo);  // degree: ALL neighbors
-        ++pos;
-        diag_done = true;
-      }
-      if (free_mask[v]) {
-        indices[pos] = node_to_free[v];
-        data[pos] = -1.0;
-        ++pos;
-      } else {
-        brhs += bval[v];
-        if (bdry_rows) {
-          bdry_rows[bpos] = r;
-          bdry_cols[bpos] = v;
-          ++bpos;
-        }
-      }
-    }
-    if (!diag_done) {
-      indices[pos] = r;
-      data[pos] = static_cast<double>(hi - lo);
-      ++pos;
-    }
-    b[r] = brhs;
-    ++r;
-  }
-  return pos;
+  // Count pass (indices == nullptr): fills indptr, returns nnz.  The
+  // boundary-pair count is sum(row degrees) - (nnz - n_free), derivable by
+  // the caller.
+  return assemble_reduced_t<int64_t>(adj_ptr, adj_idx, n, free_mask,
+                                     node_to_free, bval, indptr, indices,
+                                     data, b, bdry_rows, bdry_cols);
+}
+
+int64_t assemble_reduced_i32(const int64_t* adj_ptr, const int32_t* adj_idx,
+                             int64_t n, const uint8_t* free_mask,
+                             const int32_t* node_to_free, const double* bval,
+                             int64_t* indptr /* n_free+1, out */,
+                             int32_t* indices /* nullable; out */,
+                             double* data /* nullable; out */,
+                             double* b /* nullable; n_free, out */,
+                             int32_t* bdry_rows /* nullable; out */,
+                             int32_t* bdry_cols /* nullable; out */) {
+  return assemble_reduced_t<int32_t>(adj_ptr, adj_idx, n, free_mask,
+                                     node_to_free, bval, indptr, indices,
+                                     data, b, bdry_rows, bdry_cols);
 }
 
 }  // extern "C"
