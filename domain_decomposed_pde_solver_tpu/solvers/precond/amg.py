@@ -152,7 +152,22 @@ def _lmax_dinv_a_host(S) -> float:
     as a scipy spgemm cost 0.5 s/level at 19M nnz.  Above 4M rows the
     matrix is recast to f32 values + int32 indices first (half the
     memory traffic of the 20 power matvecs; ~16 s -> ~9 s at 10M DOF) —
-    gated so small hierarchies stay bit-identical."""
+    gated so small hierarchies stay bit-identical.
+
+    Above 4M rows the estimate is replaced outright by the native
+    Gershgorin bound of D^-1 A (one streaming pass, ~0.7 s vs ~13 s of
+    power matvecs at 10M DOF).  Gershgorin is a guaranteed containment
+    bound — for the Chebyshev interval that is strictly safer than the
+    power method's underestimate-plus-5%; on fine-level Laplacians the
+    two agree to ~2% (both ~2.0)."""
+    if S.shape[0] > 4_000_000:
+        from ...utils.native import gersh_dinv_native
+
+        g = gersh_dinv_native(
+            np.asarray(S.indptr, np.int64), S.indices, S.data, S.shape[0]
+        )
+        if g is not None and g > 0:
+            return float(g)
     if S.shape[0] > 4_000_000 and S.nnz < 2**31:
         import scipy.sparse as sp
 

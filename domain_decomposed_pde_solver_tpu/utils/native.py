@@ -138,6 +138,22 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.pack_dia_f32_i32.argtypes = [
             _i64p, _i32p, _f64p, _i64, _i64, _i64, _i64p, ctypes.c_void_p,
         ]
+        lib.rap_run.restype = _i64
+        lib.rap_run.argtypes = [
+            _i64p, _i64p, _f64p, _i64p, _i64p, _f64p, _i64, _i64,
+        ]
+        lib.rap_fetch.restype = None
+        lib.rap_fetch.argtypes = [_i64p, _i64p, _f64p]
+        lib.rap_run_i32.restype = _i64
+        lib.rap_run_i32.argtypes = [
+            _i64p, _i32p, _f64p, _i64p, _i32p, _f64p, _i64, _i64,
+        ]
+        lib.rap_fetch_i32.restype = None
+        lib.rap_fetch_i32.argtypes = [_i64p, _i32p, _f64p]
+        lib.gersh_dinv.restype = ctypes.c_double
+        lib.gersh_dinv.argtypes = [_i64p, _i64p, _f64p, _i64]
+        lib.gersh_dinv_i32.restype = ctypes.c_double
+        lib.gersh_dinv_i32.argtypes = [_i64p, _i32p, _f64p, _i64]
         _lib = lib
         return _lib
 
@@ -335,25 +351,55 @@ def tri_levels_native(indptr, indices, n, lower: bool):
 
 
 def rap_galerkin_native(Ap, Ai, Ax, Pp, Pi, Px, n_f, n_c):
-    """C = P^T A P as (indptr, indices, data); None if unavailable."""
+    """C = P^T A P as (indptr, indices, data); None if unavailable.
+
+    Single numeric pass (``rap_run`` stashes, ``rap_fetch`` copies out) —
+    the two-call count+fill protocol recomputed the whole triple product,
+    which at 10M-DOF fine levels doubled the ~6 s RAP phase.  int32 index
+    fast path when both matrices fit.
+    """
     lib = load_native()
     if lib is None:
         return None
     Ap = np.ascontiguousarray(Ap, np.int64)
-    Ai = np.ascontiguousarray(Ai, np.int64)
     Ax = np.ascontiguousarray(Ax, np.float64)
     Pp = np.ascontiguousarray(Pp, np.int64)
-    Pi = np.ascontiguousarray(Pi, np.int64)
     Px = np.ascontiguousarray(Px, np.float64)
+    if max(n_f, n_c) < 2**31:
+        Ai = np.ascontiguousarray(Ai, np.int32)
+        Pi = np.ascontiguousarray(Pi, np.int32)
+        nnz = lib.rap_run_i32(Ap, Ai, Ax, Pp, Pi, Px, n_f, n_c)
+        Cp = np.zeros(n_c + 1, dtype=np.int64)
+        Ci = np.zeros(nnz, dtype=np.int32)
+        Cx = np.zeros(nnz, dtype=np.float64)
+        lib.rap_fetch_i32(Cp, Ci, Cx)
+        return Cp, Ci.astype(np.int64), Cx
+    Ai = np.ascontiguousarray(Ai, np.int64)
+    Pi = np.ascontiguousarray(Pi, np.int64)
+    nnz = lib.rap_run(Ap, Ai, Ax, Pp, Pi, Px, n_f, n_c)
     Cp = np.zeros(n_c + 1, dtype=np.int64)
-    nnz = lib.rap_galerkin(Ap, Ai, Ax, Pp, Pi, Px, n_f, n_c, Cp, None, None)
     Ci = np.zeros(nnz, dtype=np.int64)
     Cx = np.zeros(nnz, dtype=np.float64)
-    lib.rap_galerkin(
-        Ap, Ai, Ax, Pp, Pi, Px, n_f, n_c, Cp,
-        Ci.ctypes.data_as(ctypes.c_void_p), Cx.ctypes.data_as(ctypes.c_void_p),
-    )
+    lib.rap_fetch(Cp, Ci, Cx)
     return Cp, Ci, Cx
+
+
+def gersh_dinv_native(indptr, indices, data, n) -> Optional[float]:
+    """Gershgorin bound of lambda_max(D^-1 A); None if unavailable.
+
+    One streaming pass; a guaranteed containment bound for the Chebyshev
+    interval (vs. the power method's underestimate-then-pad-5%).
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    data = np.ascontiguousarray(data, np.float64)
+    if n < 2**31:
+        indices32 = np.ascontiguousarray(indices, np.int32)
+        return float(lib.gersh_dinv_i32(indptr, indices32, data, n))
+    indices = np.ascontiguousarray(indices, np.int64)
+    return float(lib.gersh_dinv(indptr, indices, data, n))
 
 
 def sa_prolongator_native(Ap, Ai, Ax, agg, tval, s_over_d, n_f, n_c):

@@ -136,3 +136,51 @@ def test_pack_ell_matches_scatter(data_dir):
     vals_ref[rows, slot] = A.data
     np.testing.assert_array_equal(cols, cols_ref)
     np.testing.assert_array_equal(vals, vals_ref)
+
+
+def test_rap_single_pass_matches_scipy():
+    import scipy.sparse as sp
+
+    from domain_decomposed_pde_solver_tpu.utils.native import (
+        native_available, rap_galerkin_native)
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng_a = sp.random(400, 400, density=0.02, random_state=1, format="csr")
+    A = (rng_a + rng_a.T).tocsr()
+    A.setdiag(A.diagonal() + 5.0)
+    A.sort_indices()
+    P = sp.random(400, 50, density=0.05, random_state=2, format="csr")
+    P.sort_indices()
+    Cp, Ci, Cx = rap_galerkin_native(
+        A.indptr, A.indices, A.data, P.indptr, P.indices, P.data, 400, 50
+    )
+    ref = (P.T @ A @ P).tocsr()
+    ref.sort_indices()
+    np.testing.assert_array_equal(Cp, ref.indptr)
+    np.testing.assert_array_equal(Ci, ref.indices)
+    np.testing.assert_allclose(Cx, ref.data, rtol=1e-12)
+
+
+def test_gershgorin_bound_contains_lmax():
+    import scipy.sparse as sp
+
+    from domain_decomposed_pde_solver_tpu.utils.native import (
+        gersh_dinv_native, native_available)
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng_a = sp.random(200, 200, density=0.05, random_state=3, format="csr")
+    A = (rng_a + rng_a.T).tocsr()
+    A.setdiag(A.diagonal() + 4.0)
+    A.sort_indices()
+    g = gersh_dinv_native(np.asarray(A.indptr, np.int64), A.indices, A.data, 200)
+    d = A.diagonal()
+    ref = float(np.max(np.abs(A).sum(axis=1).A1 / np.abs(d)))
+    assert abs(g - ref) < 1e-12
+    lam = float(np.max(np.abs(np.linalg.eigvals((A.toarray().T / d).T))))
+    assert g >= lam - 1e-9  # guaranteed containment
