@@ -28,6 +28,25 @@ Vectors in this space carry zeros in every pad slot; ``matvec`` re-masks its
 output, so Krylov iterations preserve the invariant.  ``put_vector`` /
 ``get_vector`` are pure reshape+pad (no index maps).
 
+Shuffle economics (the round-3 factored-roll form): a naive per-tap
+evaluation pays one cross-lane roll per ``dx != 0`` tap and one sublane
+roll per ``(dz, dy != 0)`` window — ~16 rolls/layer on the 19-tap TETRA4
+stencil, ~24 on 27-point HEX8 — and at the streamed-traffic minimum those
+VPU permutes, not HBM, set the floor.  This kernel factors the rolls out
+by linearity instead:
+
+    coeff(r, l) * roll_d(W)  ==  roll_d( coeff_shifted * W )
+
+so coefficient planes multiply BEFORE the shifts, taps sharing a shift
+bucket sum first, and each distinct bucket rolls ONCE.  The plane shift is
+free: coefficient patterns are (<=2)-periodic, so rolling a plane by +-1
+just flips one parity bit, which becomes a static remap of the 8 pattern
+scalars (read from SMEM; planes are synthesized in-kernel from iota
+checkerboards, so nothing value-dependent is baked into the program).
+Identical buckets — same pattern scalars, same window set — deduplicate at
+trace time, which auto-discovers stencil separability: TETRA4 drops to 6
+rolls/layer (multi-lane-tile) / 2 (single-tile), HEX8 to 4 / 2.
+
 The per-``pallas_call`` dispatch overhead (~0.4 ms on the tunneled dev
 environment) is amortized the usual way: the solver chains iterations inside
 one jit program.
@@ -39,6 +58,7 @@ Replaces the SpMV the reference runs via Tpetra inside Belos
 from __future__ import annotations
 
 import dataclasses
+from collections import defaultdict
 from functools import partial
 from typing import Optional, Tuple
 
@@ -70,9 +90,9 @@ def _tree_sum(terms):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["pats", "const_vals", "pplanes", "corr"],
+    data_fields=["pats", "const_vals", "quads", "corr"],
     meta_fields=[
-        "taps", "groups", "group_const", "plane_of_group", "dims",
+        "taps", "groups", "group_const", "group_kind", "dims",
         "period", "myp", "mxp", "bz", "n_rows",
     ],
 )
@@ -82,21 +102,26 @@ class PadStencilOperator:
 
     ``pats``/``taps``/``groups``/``group_const``/``period`` have
     :class:`..stencil.StencilOperator` semantics (used by the non-TPU
-    reference evaluation).  ``pplanes`` holds, per non-constant group, the
-    two z-parity coefficient planes ``(G_pat, 2 * myp, mxp)`` the kernel
-    multiplies by (broadcast once at build; ~100 KB, VMEM-resident).
-    ``corr`` is the diagonal correction embedded in the padded space
-    (bfloat16 when bit-exact, f32 compute).
+    reference evaluation).  ``quads`` holds the per-group pattern scalars
+    ``[g, zp*4 + yp*2 + xp]`` the kernel reads from SMEM (period-1
+    patterns are replicated across the parity axes).  ``group_kind``
+    records each group's in-plane parity dependence — ``"c"`` constant
+    per z-parity, ``"y"``/``"x"`` one-axis, ``"d"`` diagonal (depends on
+    ``yp ^ xp`` only, the TETRA4 case), ``"f"`` full 2x2 — so the kernel
+    synthesizes the cheapest coefficient plane and folds roll-induced
+    parity flips into static scalar-index remaps.  ``corr`` is the
+    diagonal correction embedded in the padded space (bfloat16 when
+    bit-exact, f32 compute).
     """
 
     pats: jax.Array  # (ndiags, p, p, p) f32
     const_vals: jax.Array  # (n_groups,) f32
-    pplanes: jax.Array  # (max(G_pat,1), 2*myp, mxp) f32
+    quads: jax.Array  # (n_groups, 8) f32: [g, zp*4 + yp*2 + xp]
     corr: jax.Array  # (n_space,) f32 or bf16
     taps: Tuple[Tuple[int, int, int], ...]
     groups: Tuple[Tuple[int, ...], ...]
     group_const: Tuple[bool, ...]
-    plane_of_group: Tuple[int, ...]  # group -> plane row (-1 for const)
+    group_kind: Tuple[str, ...]  # "c" | "y" | "x" | "d" | "f"
     dims: Tuple[int, int, int]
     period: int
     myp: int
@@ -240,40 +265,44 @@ class PadStencilOperator:
         return y + self.corr.astype(x_padded.dtype) * x_padded
 
 
-def _build_pattern_planes(
-    period: int, pats_in, groups, group_const, myp: int, mxp: int
-) -> Tuple[np.ndarray, Tuple[int, ...]]:
-    """Per non-constant group: (2*myp, mxp) z-parity coefficient planes.
+def _build_group_quads(
+    period: int, pats_in, groups, group_const
+) -> Tuple[np.ndarray, Tuple[str, ...]]:
+    """Per-group pattern scalars ``[g, zp*4 + yp*2 + xp]`` + parity kind.
 
-    plane[zp * myp + r, l] = pat[zp, (r - 1) % p, l % p] — the row offset
-    bakes in the leading zero pad row (iy = r - 1); values at pad rows /
-    lanes are don't-care (the kernel masks its output).
+    The kind classifies the 2x2 (yp, xp) quad at each z-parity so the
+    kernel synthesizes the minimal coefficient plane: ``"c"`` constant,
+    ``"y"``/``"x"`` varies along one parity axis, ``"d"`` depends only on
+    ``yp ^ xp`` (so a +-1 roll in EITHER axis is the same single-bit
+    remap — TETRA4's checkerboard patterns hit this), ``"f"`` full quad.
     """
     p = period
+    if p not in (1, 2):
+        raise ValueError(f"lattice period must be 1 or 2, got {p}")
     pats = np.asarray(pats_in, dtype=np.float32)
-    plane_of_group = []
-    planes = []
-    r = np.arange(myp)
-    l = np.arange(mxp)
-    ypar = (r - 1) % p
-    xpar = l % p
+    nq = np.zeros((len(groups), 8), dtype=np.float32)
+    kinds = []
     for g, tap_idx in enumerate(groups):
-        if group_const[g]:
-            plane_of_group.append(-1)
-            continue
         pat = pats[tap_idx[0]]  # (p, p, p) [iz%p, iy%p, ix%p]
-        plane = np.empty((2 * myp, mxp), dtype=np.float32)
-        for zp in (0, 1):
-            plane[zp * myp : (zp + 1) * myp] = pat[zp % p][
-                np.ix_(ypar, xpar)
-            ]
-        plane_of_group.append(len(planes))
-        planes.append(plane)
-    if planes:
-        pp = np.stack(planes)
-    else:
-        pp = np.zeros((1, 2 * myp, mxp), dtype=np.float32)
-    return pp, tuple(plane_of_group)
+        for zp in range(2):
+            for yp in range(2):
+                for xp in range(2):
+                    nq[g, zp * 4 + yp * 2 + xp] = pat[zp % p, yp % p, xp % p]
+        q = nq[g].reshape(2, 2, 2)
+        depy = not np.array_equal(q[:, 0, :], q[:, 1, :])
+        depx = not np.array_equal(q[:, :, 0], q[:, :, 1])
+        if group_const[g] or not (depy or depx):
+            kinds.append("c")  # constant per z-parity (zp is static)
+        elif depy and depx:
+            xor = np.array_equal(q[:, 0, 0], q[:, 1, 1]) and np.array_equal(
+                q[:, 0, 1], q[:, 1, 0]
+            )
+            kinds.append("d" if xor else "f")
+        elif depy:
+            kinds.append("y")
+        else:
+            kinds.append("x")
+    return nq, tuple(kinds)
 
 
 def pad_stencil_from_stencil(
@@ -353,19 +382,19 @@ def pad_stencil_from_parts(
     if corr_storage == "bfloat16":
         corr_j = corr_j.astype(jnp.bfloat16)
 
-    pplanes, plane_of_group = _build_pattern_planes(
+    quads, group_kind = _build_group_quads(
         parts["period"], parts["pats"], parts["groups"],
-        parts["group_const"], myp, mxp,
+        parts["group_const"],
     )
     return PadStencilOperator(
         pats=jnp.asarray(parts["pats"], jnp.float32),
         const_vals=jnp.asarray(parts["const_vals"], jnp.float32),
-        pplanes=jnp.asarray(pplanes),
+        quads=jnp.asarray(quads),
         corr=corr_j,
         taps=parts["taps"],
         groups=parts["groups"],
         group_const=parts["group_const"],
-        plane_of_group=plane_of_group,
+        group_kind=group_kind,
         dims=parts["dims"],
         period=parts["period"],
         myp=myp,
@@ -386,9 +415,8 @@ GUARD = 2  # leading guard layers in the scratch window
 
 def _kernel(
     meta,
-    cv_ref,
+    q_ref,
     x_hbm,
-    pp_ref,
     corr_ref,
     y_ref,
     scratch,
@@ -397,11 +425,12 @@ def _kernel(
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    (taps, groups, group_const, plane_of_group, dims, myp, mxp, bz, Z,
+    (taps, groups, group_const, group_kind, dims, myp, mxp, bz, Z,
      nb) = meta
     mx, my, mz = dims
     SL = bz + 6  # scratch layers per buffer
     i = pl.program_id(0)
+    single = mxp == 128  # single lane-tile: unaligned row windows are free
 
     # Mosaic requires every *vector load* row offset on a multi-lane-tile
     # (mxp > 128) memref to be provably ≡ 0 (mod 8), and its divisibility
@@ -438,58 +467,187 @@ def _kernel(
         jnp.logical_and(r_ids >= 1, r_ids < my + 1), l_ids < mx
     )
 
+    # Parity checkerboards at coefficient-application coords: output rows
+    # (single-tile) or the 8-row-guarded tall window (multi-tile; the
+    # 8-row guard is parity-neutral).  Row r holds grid row iy = r - 1.
+    H = myp if single else myp + 16
+    rch = jax.lax.broadcasted_iota(jnp.int32, (H, mxp), 0)
+    lch = jax.lax.broadcasted_iota(jnp.int32, (H, mxp), 1)
+    boards = {}
+
+    def board(which):
+        if which not in boards:
+            if which == "y":
+                boards[which] = ((rch + 1) & 1).astype(jnp.float32)
+            elif which == "x":
+                boards[which] = (lch & 1).astype(jnp.float32)
+            elif which == "d":
+                boards[which] = ((rch + 1 + lch) & 1).astype(jnp.float32)
+            else:  # "xy"
+                boards[which] = board("y") * board("x")
+        return boards[which]
+
     for k in range(bz):
         ell = i * bz + k  # absolute output layer
         zp = (k - 1) % 2  # z-parity of grid layer (bz even, layer = ell-1)
-        windows = {}
-        talls = {}
+        base_wins = {}  # (dz, dy) -> (myp, mxp) direct window [single-tile]
+        talls = {}  # dz -> (myp+16, mxp) aligned tall window [multi-tile]
 
-        def W(dz, dy):
-            key = (dz, dy)
-            if key not in windows:
+        def tall(dz):
+            if dz not in talls:
                 base = (k + dz + 1 + GUARD) * myp  # static (Python int)
-                if mxp == 128:
-                    # Single lane-tile: Mosaic lowers unaligned (static
-                    # +dy) sublane windows at full rate (BSG empirics).
-                    windows[key] = scratch[slot, pl.ds(base + dy, myp), :]
-                else:
-                    # Multi-lane-tile loads require row offsets ≡ 0
-                    # (mod 8); +dy breaks that.  Load an 8-row-guarded
-                    # tall window once per dz (aligned: myp ≡ 0 mod 8)
-                    # and realize dy ∈ {-1,+1} as a static sublane roll.
-                    if dz not in talls:
-                        talls[dz] = scratch[
-                            slot, pl.ds(base - 8, myp + 16), :
-                        ]
-                    t = talls[dz]
-                    if dy:
-                        # roll left by (8+dy) == roll right by H-(8+dy)
-                        t = pltpu.roll(t, myp + 16 - (8 + dy), axis=0)
-                        windows[key] = t[:myp]
-                    else:
-                        windows[key] = t[8 : 8 + myp]
-            return windows[key]
+                talls[dz] = scratch[slot, pl.ds(base - 8, myp + 16), :]
+            return talls[dz]
 
-        terms = []
+        def win(dz, dy):
+            key = (dz, dy)
+            if key not in base_wins:
+                base = (k + dz + 1 + GUARD) * myp
+                base_wins[key] = scratch[slot, pl.ds(base + dy, myp), :]
+            return base_wins[key]
+
+        def center():
+            return win(0, 0) if single else tall(0)[8 : 8 + myp]
+
+        # Coefficient planes, synthesized from SMEM scalars.  A factored
+        # roll by (dy, dx) shifts the plane the opposite way; with <=2-
+        # periodic patterns that is a parity-bit flip, normalized into the
+        # cache key per the group's kind (so e.g. TETRA4's xor patterns
+        # give the SAME plane for a dy-flip and a dx-flip).
+        planes = {}
+
+        def plane_key(g, yf, xf):
+            kind = group_kind[g]
+            if kind == "c":
+                return ("c", g)
+            if kind == "x":
+                return ("p", g, 0, xf)
+            if kind == "y":
+                return ("p", g, yf, 0)
+            if kind == "d":
+                return ("p", g, 0, yf ^ xf)
+            return ("p", g, yf, xf)
+
+        def plane(pk):
+            """-> ("s", scalar) | ("p", (H, mxp) array)."""
+            if pk in planes:
+                return planes[pk]
+            if pk[0] == "c":
+                v = ("s", q_ref[pk[1], zp * 4])
+            else:
+                _, g, yf, xf = pk
+                kind = group_kind[g]
+
+                def q(yp, xp):
+                    return q_ref[g, zp * 4 + (yp ^ yf) * 2 + (xp ^ xf)]
+
+                q00 = q(0, 0)
+                if kind == "x":
+                    arr = q00 + (q(0, 1) - q00) * board("x")
+                elif kind == "y":
+                    arr = q00 + (q(1, 0) - q00) * board("y")
+                elif kind == "d":
+                    arr = q00 + (q(0, 1) - q00) * board("d")
+                else:
+                    arr = (
+                        q00
+                        + (q(0, 1) - q00) * board("x")
+                        + (q(1, 0) - q00) * board("y")
+                        + (q(1, 1) - q(0, 1) - q(1, 0) + q00) * board("xy")
+                    )
+                v = ("p", arr)
+            planes[pk] = v
+            return v
+
+        # Shift buckets: single-tile factors only the lane roll (windows
+        # absorb dz/dy), multi-tile factors both the sublane and the lane
+        # roll out of per-dz tall windows.  bucket -> {plane_key: [wkey]}.
+        contrib = defaultdict(lambda: defaultdict(list))
         for g, tap_idx in enumerate(groups):
-            ws = []
             for d in tap_idx:
                 dx, dy, dz = taps[d]
-                Wv = W(dz, dy)
+                if single:
+                    contrib[dx][plane_key(g, 0, dx & 1)].append((dz, dy))
+                else:
+                    contrib[(dx, dy)][plane_key(g, dy & 1, dx & 1)].append(
+                        dz
+                    )
+
+        wsums = {}  # sorted window-key tuple -> summed base windows
+
+        def wsum(keys):
+            key = tuple(sorted(keys))
+            if key not in wsums:
+                wsums[key] = _tree_sum(
+                    [win(*kk) if single else tall(kk) for kk in key]
+                )
+            return key
+
+        contents = {}  # ((plane_key, wkey), ...) -> pre-roll bucket sum
+
+        def content(cdict):
+            items = tuple(
+                (pk, wsum(cdict[pk])) for pk in sorted(cdict)
+            )
+            if items not in contents:
+                terms = []
+                for pk, wk in items:
+                    kindv, v = plane(pk)
+                    terms.append(v * wsums[wk])
+                contents[items] = _tree_sum(terms)
+            return contents[items], items
+
+        if single:
+            rolled = {}
+            out_terms = []
+            for dx in sorted(contrib):
+                U, ckey = content(contrib[dx])
                 if dx:
-                    Wv = pltpu.roll(Wv, (-dx) % mxp, axis=1)
-                ws.append(Wv)
-            S = _tree_sum(ws)
-            if group_const[g]:
-                terms.append(cv_ref[0, g] * S)
-            else:
-                gp = plane_of_group[g]
-                plane = pp_ref[gp, pl.ds(zp * myp, myp), :]
-                terms.append(plane * S)
-        acc = _tree_sum(terms)
+                    rk = (dx, ckey)
+                    if rk not in rolled:
+                        rolled[rk] = pltpu.roll(U, (-dx) % mxp, axis=1)
+                    U = rolled[rk]
+                out_terms.append(U)
+            acc = _tree_sum(out_terms)
+        else:
+            rowed = {}  # (dy, content key) -> (myp, mxp) row-shifted
+
+            def row_shift(dy, cdict):
+                c, ckey = content(cdict)
+                key = (dy, ckey)
+                if key not in rowed:
+                    if dy == 0:
+                        rowed[key] = c[8 : 8 + myp]
+                    else:
+                        # roll left by (8+dy) == roll right by H-(8+dy)
+                        rowed[key] = pltpu.roll(
+                            c, myp + 16 - (8 + dy), axis=0
+                        )[:myp]
+                return rowed[key], key
+
+            per_dx = defaultdict(list)
+            for dx, dy in contrib:
+                per_dx[dx].append(dy)
+            dx_sums = {}
+            out_terms = []
+            for dx in sorted(per_dx):
+                arrs, keys = [], []
+                for dy in sorted(per_dx[dx]):
+                    a, kk = row_shift(dy, contrib[(dx, dy)])
+                    arrs.append(a)
+                    keys.append(kk)
+                skey = tuple(sorted(keys))
+                if skey not in dx_sums:
+                    dx_sums[skey] = _tree_sum(arrs)
+                U = dx_sums[skey]
+                if dx:
+                    U = pltpu.roll(U, (-dx) % mxp, axis=1)
+                out_terms.append(U)
+            acc = _tree_sum(out_terms)
+
         acc = acc + corr_ref[pl.ds(k * myp, myp), :].astype(
             jnp.float32
-        ) * W(0, 0)
+        ) * center()
         valid = jnp.logical_and(ell >= 1, ell <= mz)
         acc = jnp.where(jnp.logical_and(valid, rl_mask), acc, 0.0)
         y_ref[pl.ds(k * myp, myp), :] = acc
@@ -505,7 +663,7 @@ def pad_stencil_spmv(
 
     myp, mxp, bz, Z, nb = A.myp, A.mxp, A.bz, A.Z, A.nb
     meta = (
-        A.taps, A.groups, A.group_const, A.plane_of_group, A.dims,
+        A.taps, A.groups, A.group_const, A.group_kind, A.dims,
         myp, mxp, bz, Z, nb,
     )
     x2 = x_padded.astype(jnp.float32).reshape(Z * myp, mxp)
@@ -531,10 +689,9 @@ def _pad_stencil_call(meta, A, x2, corr2, SL, interpret):
         partial(_kernel, meta),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, len(A.groups)), lambda i: (0, 0),
+            pl.BlockSpec((len(A.groups), 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((bz * myp, mxp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -546,5 +703,5 @@ def _pad_stencil_call(meta, A, x2, corr2, SL, interpret):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(A.const_vals.reshape(1, -1), x2, A.pplanes, corr2)
+    )(A.quads, x2, corr2)
     return y

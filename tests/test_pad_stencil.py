@@ -58,8 +58,9 @@ def test_reference_matches_stencil_operator(shape, elem):
 
 
 @pytest.mark.parametrize("shape", SHAPES + [BIG_X])
-def test_pallas_kernel_matches_reference(shape):
-    s, st, A = _build(shape)
+@pytest.mark.parametrize("elem", ["TETRA4", "HEX8"])
+def test_pallas_kernel_matches_reference(shape, elem):
+    s, st, A = _build(shape, elem)
     rng = np.random.default_rng(1)
     x = rng.standard_normal(s.n_free).astype(np.float32)
     xp = A.put_vector(x)
@@ -254,6 +255,49 @@ def test_pad_brick_level0_device_matches_host():
     )
     np.testing.assert_allclose(np.asarray(inv_d)[mask], inv_h[mask],
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "shape,elem,sublane,lane",
+    [
+        # Single lane-tile (mxp=128): dz/dy absorbed by the VMEM windows,
+        # only the two lane-roll buckets (dx = -1, +1) remain.
+        ((13, 9, 11), "TETRA4", 0, 2),
+        ((13, 9, 11), "HEX8", 0, 2),
+        # Multi-lane-tile (mxp=256): dy realized as sublane rolls of the
+        # 8-row-guarded tall windows; bucket dedup collapses TETRA4's 19
+        # taps to 4 sublane + 2 lane rolls, HEX8's 27 to 2 + 2.
+        ((132, 8, 8), "TETRA4", 4, 2),
+        ((132, 8, 8), "HEX8", 2, 2),
+    ],
+)
+def test_factored_roll_counts(shape, elem, sublane, lane, monkeypatch):
+    """Shuffle economics regression: the factored-roll kernel must keep
+    the per-layer VPU permute counts at the deduplicated minimum (a naive
+    per-tap evaluation pays ~16 rolls/layer on TETRA4, ~24 on HEX8)."""
+    import jax.experimental.pallas.tpu as pltpu_mod
+    from domain_decomposed_pde_solver_tpu.ops.pallas import (
+        stencil_kernel as sk,
+    )
+
+    _, _, A = _build(shape, elem)
+    calls = {0: 0, 1: 0}
+    orig = pltpu_mod.roll
+
+    def counting(x, shift, axis=0, **kw):
+        calls[axis] += 1
+        return orig(x, shift, axis=axis, **kw)
+
+    monkeypatch.setattr(pltpu_mod, "roll", counting)
+    meta = (A.taps, A.groups, A.group_const, A.group_kind, A.dims,
+            A.myp, A.mxp, A.bz, A.Z, A.nb)
+    x2 = jnp.zeros((A.Z * A.myp, A.mxp), jnp.float32)
+    corr2 = A.corr.reshape(A.Z * A.myp, A.mxp)
+    jax.eval_shape(
+        lambda x, c: sk._pad_stencil_call(meta, A, x, c, A.bz + 6, False),
+        x2, corr2,
+    )
+    assert calls[0] == sublane * A.bz and calls[1] == lane * A.bz, calls
 
 
 def test_corr_storage_bf16_exact_only():
