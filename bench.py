@@ -152,18 +152,52 @@ def measured_stream_gbps(reps=3):
     return 2 * big.size * 4 / dt / 1e9
 
 
+def _probe_backend_subprocess(timeout_s=90):
+    """True if a throwaway subprocess can init the backend AND move bytes.
+
+    Tunnel outages show up two ways: ``jax.devices()`` raising, or — worse
+    — blocking indefinitely inside PJRT client creation (observed: >12 h).
+    A hang can't be recovered in-process (the signal-based raise is
+    deferred while the GIL sits in the C call), so health is probed in a
+    subprocess that can be killed."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "d = jax.devices()\n"
+        "x = jnp.asarray(np.ones(1 << 20, np.float32))\n"
+        "assert float(x[0]) == 1.0\n"
+        "print(d[0].platform)\n"
+    )
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", code],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return r.returncode == 0 and r.stdout.strip() not in ("", "cpu")
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _init_backend_with_retry(max_tries=30, sleep_s=45):
     """Touch the backend early, retrying through tunnel outages.
 
     The axon TPU plugin intermittently fails to initialize for minutes at
-    a time; a failed first touch would otherwise abort the whole bench.
-    Falls back to CPU after the retry budget so the driver always gets an
-    artifact (clearly marked by device_kind)."""
+    a time (raising OR hanging); a failed first touch would otherwise
+    abort or wedge the whole bench.  Each attempt first health-checks the
+    tunnel in a killable subprocess, then inits in-process.  Falls back to
+    CPU after the retry budget so the driver always gets an artifact
+    (clearly marked by device_kind)."""
     import time as _time
 
     import jax
 
     for attempt in range(max_tries):
+        if not _probe_backend_subprocess():
+            print(f"# backend probe unhealthy (attempt {attempt})", flush=True)
+            _time.sleep(sleep_s)
+            continue
         try:
             return jax.devices()
         except RuntimeError as e:

@@ -416,6 +416,7 @@ GUARD = 2  # leading guard layers in the scratch window
 def _kernel(
     meta,
     q_ref,
+    zlim_ref,
     x_hbm,
     corr_ref,
     y_ref,
@@ -648,7 +649,10 @@ def _kernel(
         acc = acc + corr_ref[pl.ds(k * myp, myp), :].astype(
             jnp.float32
         ) * center()
-        valid = jnp.logical_and(ell >= 1, ell <= mz)
+        # z-validity bounds from SMEM: (1, mz) for the single-device
+        # operator; per-device (1, owned-layer count) for z-slab shards
+        # (where trailing slab layers past the global grid must zero).
+        valid = jnp.logical_and(ell >= zlim_ref[0, 0], ell <= zlim_ref[0, 1])
         acc = jnp.where(jnp.logical_and(valid, rl_mask), acc, 0.0)
         y_ref[pl.ds(k * myp, myp), :] = acc
 
@@ -673,23 +677,27 @@ def pad_stencil_spmv(
     # kernel is pure f32/bf16/i32, and Mosaic's convert-lowering helper
     # infinitely recurses on the f64-intermediate casts x64 tracing
     # inserts (observed: RecursionError at lowering).
+    zlim = jnp.array([[1, A.dims[2]]], jnp.int32)
     with jax.enable_x64(False):
-        y = _pad_stencil_call(meta, A, x2, corr2, SL, interpret)
+        y = _pad_stencil_call(meta, A.quads, zlim, x2, corr2, SL, interpret)
     # (cast outside the x64=False scope, where float64 would silently
     # degrade to float32)
     return y.reshape(-1).astype(x_padded.dtype)
 
 
-def _pad_stencil_call(meta, A, x2, corr2, SL, interpret):
+def _pad_stencil_call(meta, quads, zlim, x2, corr2, SL, interpret, vma=None):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    myp, mxp, bz, Z, nb = A.myp, A.mxp, A.bz, A.Z, A.nb
+    n_groups = quads.shape[0]
+    myp, mxp, bz, Z, nb = meta[5], meta[6], meta[7], meta[8], meta[9]
     y = pl.pallas_call(
         partial(_kernel, meta),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((len(A.groups), 8), lambda i: (0, 0),
+            pl.BlockSpec((n_groups, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((bz * myp, mxp), lambda i: (i, 0),
@@ -697,11 +705,14 @@ def _pad_stencil_call(meta, A, x2, corr2, SL, interpret):
         ],
         out_specs=pl.BlockSpec((bz * myp, mxp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Z * myp, mxp), jnp.float32),
+        # vma: set to the mesh-axis set when called inside a
+        # check_vma=True shard_map (the slab-sharded path) so the output
+        # is marked device-varying; None outside shard_map.
+        out_shape=jax.ShapeDtypeStruct((Z * myp, mxp), jnp.float32, vma=vma),
         scratch_shapes=[
             pltpu.VMEM((2, SL * myp, mxp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(A.quads, x2, corr2)
+    )(quads, zlim, x2, corr2)
     return y

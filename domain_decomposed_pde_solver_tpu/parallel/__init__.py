@@ -24,6 +24,12 @@ from .slab import (
 )
 from .haloamg import HaloAMG, build_halo_amg, halo_amg_cg_solve
 from .slabamg import SlabAMG, build_slab_amg, slab_amg_cg_solve
+from .slabpad import (
+    SlabPadPlan,
+    SlabPadStencilOperator,
+    build_slab_pad_stencil,
+    slab_pad_cg_solve,
+)
 from .multihost import (
     initialize_multihost,
     multihost_slab_cg_solve,
@@ -62,6 +68,10 @@ __all__ = [
     "SlabAMG",
     "build_slab_amg",
     "slab_amg_cg_solve",
+    "SlabPadPlan",
+    "SlabPadStencilOperator",
+    "build_slab_pad_stencil",
+    "slab_pad_cg_solve",
     "HaloAMG",
     "build_halo_amg",
     "halo_amg_cg_solve",

@@ -293,8 +293,11 @@ def test_factored_roll_counts(shape, elem, sublane, lane, monkeypatch):
             A.myp, A.mxp, A.bz, A.Z, A.nb)
     x2 = jnp.zeros((A.Z * A.myp, A.mxp), jnp.float32)
     corr2 = A.corr.reshape(A.Z * A.myp, A.mxp)
+    zlim = jnp.array([[1, A.dims[2]]], jnp.int32)
     jax.eval_shape(
-        lambda x, c: sk._pad_stencil_call(meta, A, x, c, A.bz + 6, False),
+        lambda x, c: sk._pad_stencil_call(
+            meta, A.quads, zlim, x, c, A.bz + 6, False
+        ),
         x2, corr2,
     )
     assert calls[0] == sublane * A.bz and calls[1] == lane * A.bz, calls
