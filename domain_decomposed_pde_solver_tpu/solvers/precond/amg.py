@@ -781,7 +781,12 @@ def smoothed_aggregation_setup(
             (omega / lmax) / d, A_k.shape[0], n_c,
         )
         if ps is not None:
-            P = sp.csr_matrix((ps[2], ps[1], ps[0]), shape=(A_k.shape[0], n_c))
+            # Keep the raw (Pp, Pi, Px) arrays: routing them through
+            # sp.csr_matrix here upcast int32 Pi to int64 (scipy unifies
+            # indptr/indices dtypes), re-faulting hundreds of MB at 10M.
+            # The scipy form is built lazily only where needed.
+            Pp, Pi, Px = ps
+            P = None
         else:
             T = sp.csr_matrix(
                 (tval[agg], (np.arange(A_k.shape[0]), agg)),
@@ -790,19 +795,22 @@ def smoothed_aggregation_setup(
             Dinv = sp.diags(1.0 / d)
             P = (T - (omega / lmax) * (Dinv @ (A_k @ T))).tocsr()
             P.sort_indices()
+            Pp, Pi, Px = P.indptr, P.indices, P.data
         _mark("prolongator")
         # Galerkin product natively (fused Gustavson P^T A P,
         # ddps_native.cpp::rap_galerkin) — scipy's two spgemms dominated
         # setup at 1M+ DOF.  Results are identical up to f64 rounding.
         rap = rap_galerkin_native(
             A_k.indptr, A_k.indices, A_k.data,
-            P.indptr, P.indices, P.data,
+            Pp, Pi, Px,
             A_k.shape[0], n_c,
         )
         if rap is not None:
             Cp, Ci, Cx = rap
             A_c = sp.csr_matrix((Cx, Ci, Cp), shape=(n_c, n_c))
         else:
+            if P is None:
+                P = sp.csr_matrix((Px, Pi, Pp), shape=(A_k.shape[0], n_c))
             A_c = (P.T.tocsr() @ (A_k @ P)).tocsr()
         A_c.sum_duplicates()
         if filter_tol > 0:
@@ -966,6 +974,8 @@ def smoothed_aggregation_setup(
             R_op = FactoredRestriction(P=P_fact)
         else:
             # Pad transfer operators to (n_pad_f x n_pad_c) shapes.
+            if P is None:
+                P = sp.csr_matrix((Px, Pi, Pp), shape=(A_k.shape[0], n_c))
             R = P.T.tocsr()
             P_op = _repad(ell_from_csr(_from_scipy(P), dtype=dtype), n_pad_f)
             R_op = _repad(ell_from_csr(_from_scipy(R), dtype=dtype), n_pad_c)

@@ -108,6 +108,11 @@ def load_native() -> Optional[ctypes.CDLL]:
             _i64p, _i64p, _f64p, _i64p, _f64p, _f64p, _i64, _i64, _i64p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.sa_prolongator_i32.restype = _i64
+        lib.sa_prolongator_i32.argtypes = [
+            _i64p, _i32p, _f64p, _i32p, _f64p, _f64p, _i64, _i64, _i64p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.bf16_exact.restype = _i64
         lib.bf16_exact.argtypes = [_f64p, _i64]
         lib.bsg_assign.restype = _i64
@@ -403,21 +408,29 @@ def gersh_dinv_native(indptr, indices, data, n) -> Optional[float]:
 
 
 def sa_prolongator_native(Ap, Ai, Ax, agg, tval, s_over_d, n_f, n_c):
-    """P = (I - s D^-1 A) T as (indptr, indices, data); None if unavailable."""
+    """P = (I - s D^-1 A) T as (indptr, indices, data); None if unavailable.
+
+    int32 index fast path when the matrix indices are already int32 (the
+    10M assembly emits them): the former unconditional int64 conversion
+    allocated ~1 GB of fresh pages and dominated AMG setup on this
+    fault-rate-limited host (~24 s of a 32 s total)."""
     lib = load_native()
     if lib is None:
         return None
     Ap = np.ascontiguousarray(Ap, np.int64)
-    Ai = np.ascontiguousarray(Ai, np.int64)
     Ax = np.ascontiguousarray(Ax, np.float64)
-    agg = np.ascontiguousarray(agg, np.int64)
     tval = np.ascontiguousarray(tval, np.float64)
     s_over_d = np.ascontiguousarray(s_over_d, np.float64)
     Pp = np.zeros(n_f + 1, dtype=np.int64)
-    nnz = lib.sa_prolongator(Ap, Ai, Ax, agg, tval, s_over_d, n_f, n_c, Pp, None, None)
-    Pi = np.zeros(nnz, dtype=np.int64)
+    use_i32 = np.asarray(Ai).dtype == np.int32 and max(n_f, n_c) < 2**31
+    idt = np.int32 if use_i32 else np.int64
+    fn = lib.sa_prolongator_i32 if use_i32 else lib.sa_prolongator
+    Ai = np.ascontiguousarray(Ai, idt)
+    agg = np.ascontiguousarray(agg, idt)
+    nnz = fn(Ap, Ai, Ax, agg, tval, s_over_d, n_f, n_c, Pp, None, None)
+    Pi = np.zeros(nnz, dtype=idt)
     Px = np.zeros(nnz, dtype=np.float64)
-    lib.sa_prolongator(
+    fn(
         Ap, Ai, Ax, agg, tval, s_over_d, n_f, n_c, Pp,
         Pi.ctypes.data_as(ctypes.c_void_p), Px.ctypes.data_as(ctypes.c_void_p),
     )

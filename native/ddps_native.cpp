@@ -301,6 +301,56 @@ double gersh_dinv_t(const int64_t* indptr, const TIdx* indices,
   return best;
 }
 
+template <typename TIdx>
+int64_t sa_prolongator_t(const int64_t* Ap, const TIdx* Ai, const double* Ax,
+                         const TIdx* agg, const double* tval,
+                         const double* s_over_d, int64_t n_f, int64_t n_c,
+                         int64_t* Pp /* n_f+1 */, TIdx* Pi /* nullable */,
+                         double* Px /* nullable */) {
+  std::vector<double> acc(n_c, 0.0);
+  std::vector<char> mark(n_c, 0);
+  std::vector<int64_t> touched;
+  int64_t nnz = 0;
+  Pp[0] = 0;
+  for (int64_t i = 0; i < n_f; ++i) {
+    touched.clear();
+    const double s = s_over_d[i];
+    for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+      const int64_t c = agg[Ai[p]];
+      if (c < 0) continue;  // unaggregated neighbor (shouldn't happen)
+      if (!mark[c]) {
+        mark[c] = 1;
+        touched.push_back(c);
+      }
+      acc[c] -= s * Ax[p];
+    }
+    const int64_t ci = agg[i];
+    if (ci >= 0) {
+      if (!mark[ci]) {
+        mark[ci] = 1;
+        touched.push_back(ci);
+      }
+      acc[ci] += 1.0;
+    }
+    std::sort(touched.begin(), touched.end());
+    if (Pi) {
+      for (int64_t c : touched) {
+        Pi[nnz] = static_cast<TIdx>(c);
+        Px[nnz] = tval[c] * acc[c];
+        ++nnz;
+      }
+    } else {
+      nnz += static_cast<int64_t>(touched.size());
+    }
+    for (int64_t c : touched) {
+      mark[c] = 0;
+      acc[c] = 0.0;
+    }
+    Pp[i + 1] = nnz;
+  }
+  return nnz;
+}
+
 }  // namespace
 
 extern "C" {
@@ -767,53 +817,28 @@ int64_t pack_dia_f32_i32(const int64_t* indptr, const int32_t* indices,
 // Row i touches exactly the aggregates of its neighbors (plus its own), so
 // one pass with a small per-row dedup map suffices.  Two-call protocol.
 // ---------------------------------------------------------------------------
+
 int64_t sa_prolongator(const int64_t* Ap, const int64_t* Ai, const double* Ax,
                        const int64_t* agg, const double* tval,
                        const double* s_over_d, int64_t n_f, int64_t n_c,
                        int64_t* Pp /* n_f+1 */, int64_t* Pi /* nullable */,
                        double* Px /* nullable */) {
-  std::vector<double> acc(n_c, 0.0);
-  std::vector<char> mark(n_c, 0);
-  std::vector<int64_t> touched;
-  int64_t nnz = 0;
-  Pp[0] = 0;
-  for (int64_t i = 0; i < n_f; ++i) {
-    touched.clear();
-    const double s = s_over_d[i];
-    for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
-      const int64_t c = agg[Ai[p]];
-      if (c < 0) continue;  // unaggregated neighbor (shouldn't happen)
-      if (!mark[c]) {
-        mark[c] = 1;
-        touched.push_back(c);
-      }
-      acc[c] -= s * Ax[p];
-    }
-    const int64_t ci = agg[i];
-    if (ci >= 0) {
-      if (!mark[ci]) {
-        mark[ci] = 1;
-        touched.push_back(ci);
-      }
-      acc[ci] += 1.0;
-    }
-    std::sort(touched.begin(), touched.end());
-    if (Pi) {
-      for (int64_t c : touched) {
-        Pi[nnz] = c;
-        Px[nnz] = tval[c] * acc[c];
-        ++nnz;
-      }
-    } else {
-      nnz += static_cast<int64_t>(touched.size());
-    }
-    for (int64_t c : touched) {
-      mark[c] = 0;
-      acc[c] = 0.0;
-    }
-    Pp[i + 1] = nnz;
-  }
-  return nnz;
+  return sa_prolongator_t<int64_t>(Ap, Ai, Ax, agg, tval, s_over_d, n_f, n_c,
+                                   Pp, Pi, Px);
+}
+
+// int32 ABI: at 10M DOF the assembled CSR carries int32 indices; converting
+// them to int64 for this one call allocated ~1 GB of fresh pages (this VM
+// faults fresh pages at 0.15-2 GB/s) and dominated the AMG "prolongator"
+// phase (~24 s of a 32 s setup).
+int64_t sa_prolongator_i32(const int64_t* Ap, const int32_t* Ai,
+                           const double* Ax, const int32_t* agg,
+                           const double* tval, const double* s_over_d,
+                           int64_t n_f, int64_t n_c, int64_t* Pp,
+                           int32_t* Pi /* nullable */,
+                           double* Px /* nullable */) {
+  return sa_prolongator_t<int32_t>(Ap, Ai, Ax, agg, tval, s_over_d, n_f, n_c,
+                                   Pp, Pi, Px);
 }
 
 // ---------------------------------------------------------------------------
