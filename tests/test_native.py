@@ -184,3 +184,49 @@ def test_gershgorin_bound_contains_lmax():
     assert abs(g - ref) < 1e-12
     lam = float(np.max(np.abs(np.linalg.eigvals((A.toarray().T / d).T))))
     assert g >= lam - 1e-9  # guaranteed containment
+
+
+def test_sa_prolongator_i32_matches_i64():
+    """The int32 ABI (used at 10M where the assembly emits int32 indices)
+    must produce byte-identical structure and values to the int64 path and
+    to the scipy formula P = (I - s D^-1 A) T."""
+    import scipy.sparse as sp
+
+    from domain_decomposed_pde_solver_tpu.utils.native import (
+        sa_prolongator_native,
+    )
+
+    rng_a = sp.random(300, 300, density=0.03, random_state=7, format="csr")
+    A = (rng_a + rng_a.T).tocsr()
+    A.setdiag(A.diagonal() + 6.0)
+    A.sort_indices()
+    rng = np.random.default_rng(11)
+    n_c = 40
+    agg = rng.integers(0, n_c, size=300)
+    counts = np.bincount(agg, minlength=n_c).astype(np.float64)
+    tval = 1.0 / np.sqrt(np.maximum(counts, 1.0))
+    d = A.diagonal()
+    s_over_d = 0.9 / d
+
+    outs = {}
+    for idt in (np.int64, np.int32):
+        Pp, Pi, Px = sa_prolongator_native(
+            A.indptr, A.indices.astype(idt), A.data,
+            agg.astype(idt), tval, s_over_d, 300, n_c,
+        )
+        assert Pi.dtype == np.dtype(idt)
+        outs[idt] = (Pp, Pi.astype(np.int64), Px)
+    np.testing.assert_array_equal(outs[np.int64][0], outs[np.int32][0])
+    np.testing.assert_array_equal(outs[np.int64][1], outs[np.int32][1])
+    np.testing.assert_array_equal(outs[np.int64][2], outs[np.int32][2])
+
+    T = sp.csr_matrix(
+        (tval[agg], (np.arange(300), agg)), shape=(300, n_c)
+    )
+    ref = (T - sp.diags(s_over_d) @ (A @ T)).tocsr()
+    ref.sort_indices()
+    Pp, Pi, Px = outs[np.int64]
+    got = sp.csr_matrix((Px, Pi, Pp), shape=(300, n_c))
+    np.testing.assert_array_equal(got.indptr, ref.indptr)
+    np.testing.assert_array_equal(got.indices, ref.indices)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-12, atol=1e-14)
