@@ -183,36 +183,53 @@ def assemble_heat_system(mesh: MeshModel, dtype=np.float64) -> HeatSystem:
     n_free = int(free_to_node.size)
 
     if np.dtype(dtype) == np.float64:
-        # Native single-scan assembly straight from the adjacency CSR —
-        # the NumPy path below walks ~15 nnz-sized passes (~90 s of the
-        # 10M assembly on this 1-core host; same values bit-for-bit,
-        # golden-tested).
-        adj = _adjacency_csr_native(mesh.blocks, n)
-        if adj is not None:
-            from ..utils.native import assemble_reduced_native
+        # Native single-scan assembly — the NumPy path below walks ~15
+        # nnz-sized passes (~90 s of the 10M assembly on this 1-core
+        # host; same values bit-for-bit, golden-tested).  Preferred form:
+        # fused straight from the connectivity (assemble_from_conn skips
+        # materializing the ~1.15 GB node-adjacency CSR and never builds
+        # boundary-node rows); falls back to the two-kernel
+        # adjacency-then-assemble form, byte-identical either way.
+        res = None
+        npes = {b_.nodes_per_elem for b_ in mesh.blocks} if mesh.blocks else set()
+        if len(npes) == 1:
+            from ..utils.native import assemble_from_conn_native
 
-            res = assemble_reduced_native(
-                adj[0], adj[1], n, free_mask.astype(np.uint8),
-                node_to_free, bval.astype(np.float64), n_free,
+            conns = [b_.conn for b_ in mesh.blocks]
+            conn = (
+                np.concatenate(conns, axis=0) if len(conns) > 1 else conns[0]
             )
-            if res is not None:
-                indptr, indices, data, b, brows, bcols = res
-                A = CSRMatrix(
-                    indptr=indptr, indices=indices, data=data,
-                    shape=(n_free, n_free),
+            res = assemble_from_conn_native(
+                conn, n, free_mask.astype(np.uint8), node_to_free,
+                bval.astype(np.float64), n_free,
+            )
+        if res is None:
+            adj = _adjacency_csr_native(mesh.blocks, n)
+            if adj is not None:
+                from ..utils.native import assemble_reduced_native
+
+                res = assemble_reduced_native(
+                    adj[0], adj[1], n, free_mask.astype(np.uint8),
+                    node_to_free, bval.astype(np.float64), n_free,
                 )
-                # Diagonals are the only entries > -1 (off-diags are
-                # exactly -1.0), one per row in row order.
-                return HeatSystem(
-                    A=A,
-                    b=b,
-                    free_to_node=free_to_node,
-                    node_to_free=node_to_free,
-                    degree=data[data > -1.0].astype(dtype),
-                    mesh=mesh,
-                    bdry_rows=brows,
-                    bdry_cols=bcols,
-                )
+        if res is not None:
+            indptr, indices, data, b, brows, bcols = res
+            A = CSRMatrix(
+                indptr=indptr, indices=indices, data=data,
+                shape=(n_free, n_free),
+            )
+            # Diagonals are the only entries > -1 (off-diags are
+            # exactly -1.0), one per row in row order.
+            return HeatSystem(
+                A=A,
+                b=b,
+                free_to_node=free_to_node,
+                node_to_free=node_to_free,
+                degree=data[data > -1.0].astype(dtype),
+                mesh=mesh,
+                bdry_rows=brows,
+                bdry_cols=bcols,
+            )
 
     u, v = unique_element_edges(mesh)  # unique ordered pairs, contiguous
 

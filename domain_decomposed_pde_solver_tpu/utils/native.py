@@ -113,6 +113,16 @@ def load_native() -> Optional[ctypes.CDLL]:
             _i64p, _i32p, _f64p, _i32p, _f64p, _f64p, _i64, _i64, _i64p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.assemble_from_conn.restype = _i64
+        lib.assemble_from_conn.argtypes = [
+            _i64p, _i64, _i64, _i64, _u8p, _i64p, _f64p, _i64, _i64,
+            _i64p, _i64p, _f64p, _f64p, _i64p, _i64p, _i64p,
+        ]
+        lib.assemble_from_conn_i32.restype = _i64
+        lib.assemble_from_conn_i32.argtypes = [
+            _i32p, _i64, _i64, _i64, _u8p, _i32p, _f64p, _i64, _i64,
+            _i64p, _i32p, _f64p, _f64p, _i32p, _i32p, _i64p,
+        ]
         lib.bf16_exact.restype = _i64
         lib.bf16_exact.argtypes = [_f64p, _i64]
         lib.bsg_assign.restype = _i64
@@ -258,6 +268,50 @@ def assemble_reduced_native(adj_ptr, adj_idx, n, free_mask, node_to_free,
         bdry_cols.ctypes.data_as(ctypes.c_void_p),
     )
     return indptr, indices, data, b, bdry_rows, bdry_cols
+
+
+def assemble_from_conn_native(conn, n, free_mask, node_to_free, bval, n_free):
+    """Fused adjacency + reduced-Laplacian assembly straight from the
+    element connectivity: (indptr, indices, data, b, bdry_rows, bdry_cols),
+    or None (library unavailable, or a row wider than the capacity bound —
+    caller falls back to the two-kernel node_adjacency + assemble_reduced
+    path, which is byte-identical).  Skips materializing the ~1.15 GB node
+    adjacency CSR at 10M DOF and never computes boundary-node rows."""
+    lib = load_native()
+    if lib is None or conn.shape[0] == 0:
+        return None
+    num_elem, npe = conn.shape
+    use_i32 = (
+        conn.dtype == np.int32 and n < 2**31 and num_elem < 2**31
+    )
+    idt = np.int32 if use_i32 else np.int64
+    conn = np.ascontiguousarray(conn, idt)
+    free_mask = np.ascontiguousarray(free_mask, np.uint8)
+    node_to_free = np.ascontiguousarray(node_to_free, idt)
+    bval = np.ascontiguousarray(bval, np.float64)
+    # Same 32-unique-neighbors capacity heuristic as node_adjacency_native;
+    # the over-allocation is virtual only (untouched tail pages never
+    # fault), so physical memory ~= nnz.
+    cap = min(num_elem * npe * (npe - 1), 32 * n) + n_free
+    indptr = np.zeros(n_free + 1, dtype=np.int64)
+    indices = np.empty(max(cap, 1), dtype=idt)
+    data = np.empty(max(cap, 1), dtype=np.float64)
+    b = np.zeros(max(n_free, 1), dtype=np.float64)
+    bdry_rows = np.empty(max(cap, 1), dtype=idt)
+    bdry_cols = np.empty(max(cap, 1), dtype=idt)
+    nb_out = np.zeros(1, dtype=np.int64)
+    fn = lib.assemble_from_conn_i32 if use_i32 else lib.assemble_from_conn
+    nnz = fn(
+        conn, num_elem, npe, n, free_mask, node_to_free, bval, cap, cap,
+        indptr, indices, data, b, bdry_rows, bdry_cols, nb_out,
+    )
+    if nnz < 0:
+        return None
+    nb = int(nb_out[0])
+    return (
+        indptr, indices[:nnz], data[:nnz], b[:n_free],
+        bdry_rows[:nb], bdry_cols[:nb],
+    )
 
 
 def stencil_verify_corr_native(data, dims, period, taps, diag_idx, pats):

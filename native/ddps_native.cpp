@@ -351,6 +351,105 @@ int64_t sa_prolongator_t(const int64_t* Ap, const TIdx* Ai, const double* Ax,
   return nnz;
 }
 
+// Fused adjacency + reduced-Laplacian assembly: the two-kernel pipeline
+// (node_adjacency_cap -> assemble_reduced) materializes the full node
+// adjacency CSR only to re-read it immediately — ~1.15 GB of write+read
+// traffic at 10M DOF on a host whose fresh pages fault at 0.15-2 GB/s.
+// This kernel dedups each free node's neighbor row in the same stack
+// buffer and emits the reduced row directly; boundary-node adjacency rows
+// (skipped by the assembler anyway) are never computed.  Output is
+// byte-identical to the two-kernel path (golden-tested).  Capacity-bounded
+// single pass: returns -1 when cap_nnz/cap_b would overflow (caller falls
+// back to the two-kernel form).
+template <typename TIdx>
+int64_t assemble_from_conn_t(const TIdx* conn, int64_t num_elem, int64_t npe,
+                             int64_t n, const uint8_t* free_mask,
+                             const TIdx* node_to_free, const double* bval,
+                             int64_t cap_nnz, int64_t cap_b,
+                             int64_t* indptr /* n_free+1 */, TIdx* indices,
+                             double* data, double* b, TIdx* bdry_rows,
+                             TIdx* bdry_cols, int64_t* nb_out) {
+  std::vector<int64_t> ne_ptr;
+  std::vector<TIdx> ne_elems;
+  build_node_elem_csr_t(conn, num_elem, npe, n, ne_ptr, ne_elems);
+
+  constexpr int kBuf = 128;
+  TIdx row[kBuf];
+  std::vector<TIdx> widebuf;
+  int64_t pos = 0, r = 0, bpos = 0;
+  indptr[0] = 0;
+  for (int64_t u = 0; u < n; ++u) {
+    if (!free_mask[u]) continue;
+    const TIdx ut = static_cast<TIdx>(u);
+    int m = 0;
+    bool wide = false;
+    for (int64_t p = ne_ptr[u]; p < ne_ptr[u + 1] && !wide; ++p) {
+      const TIdx* elem = conn + static_cast<int64_t>(ne_elems[p]) * npe;
+      for (int64_t k = 0; k < npe; ++k) {
+        const TIdx v = elem[k];
+        if (v == ut) continue;
+        int lo = 0, hi = m;
+        while (lo < hi) {
+          const int mid = (lo + hi) >> 1;
+          if (row[mid] < v) lo = mid + 1; else hi = mid;
+        }
+        if (lo < m && row[lo] == v) continue;
+        if (m == kBuf) { wide = true; break; }
+        std::memmove(row + lo + 1, row + lo, (m - lo) * sizeof(TIdx));
+        row[lo] = v;
+        ++m;
+      }
+    }
+    const TIdx* nbr = row;
+    int64_t deg = m;
+    if (wide) {
+      widebuf.clear();
+      for (int64_t p = ne_ptr[u]; p < ne_ptr[u + 1]; ++p) {
+        const TIdx* elem = conn + static_cast<int64_t>(ne_elems[p]) * npe;
+        for (int64_t k = 0; k < npe; ++k)
+          if (elem[k] != ut) widebuf.push_back(elem[k]);
+      }
+      std::sort(widebuf.begin(), widebuf.end());
+      widebuf.erase(std::unique(widebuf.begin(), widebuf.end()),
+                    widebuf.end());
+      nbr = widebuf.data();
+      deg = static_cast<int64_t>(widebuf.size());
+    }
+    if (pos + deg + 1 > cap_nnz || bpos + deg > cap_b) return -1;
+    double brhs = 0.0;
+    bool diag_done = false;
+    for (int64_t q = 0; q < deg; ++q) {
+      const TIdx v = nbr[q];
+      if (v > ut && !diag_done) {
+        indices[pos] = static_cast<TIdx>(r);
+        data[pos] = static_cast<double>(deg);  // degree: ALL neighbors
+        ++pos;
+        diag_done = true;
+      }
+      if (free_mask[v]) {
+        indices[pos] = node_to_free[v];
+        data[pos] = -1.0;
+        ++pos;
+      } else {
+        brhs += bval[v];
+        bdry_rows[bpos] = static_cast<TIdx>(r);
+        bdry_cols[bpos] = v;
+        ++bpos;
+      }
+    }
+    if (!diag_done) {
+      indices[pos] = static_cast<TIdx>(r);
+      data[pos] = static_cast<double>(deg);
+      ++pos;
+    }
+    b[r] = brhs;
+    ++r;
+    indptr[r] = pos;
+  }
+  *nb_out = bpos;
+  return pos;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1108,6 +1207,33 @@ int64_t assemble_reduced_i32(const int64_t* adj_ptr, const int32_t* adj_idx,
   return assemble_reduced_t<int32_t>(adj_ptr, adj_idx, n, free_mask,
                                      node_to_free, bval, indptr, indices,
                                      data, b, bdry_rows, bdry_cols);
+}
+
+int64_t assemble_from_conn(const int64_t* conn, int64_t num_elem, int64_t npe,
+                           int64_t n, const uint8_t* free_mask,
+                           const int64_t* node_to_free, const double* bval,
+                           int64_t cap_nnz, int64_t cap_b, int64_t* indptr,
+                           int64_t* indices, double* data, double* b,
+                           int64_t* bdry_rows, int64_t* bdry_cols,
+                           int64_t* nb_out) {
+  return assemble_from_conn_t<int64_t>(conn, num_elem, npe, n, free_mask,
+                                       node_to_free, bval, cap_nnz, cap_b,
+                                       indptr, indices, data, b, bdry_rows,
+                                       bdry_cols, nb_out);
+}
+
+int64_t assemble_from_conn_i32(const int32_t* conn, int64_t num_elem,
+                               int64_t npe, int64_t n,
+                               const uint8_t* free_mask,
+                               const int32_t* node_to_free, const double* bval,
+                               int64_t cap_nnz, int64_t cap_b, int64_t* indptr,
+                               int32_t* indices, double* data, double* b,
+                               int32_t* bdry_rows, int32_t* bdry_cols,
+                               int64_t* nb_out) {
+  return assemble_from_conn_t<int32_t>(conn, num_elem, npe, n, free_mask,
+                                       node_to_free, bval, cap_nnz, cap_b,
+                                       indptr, indices, data, b, bdry_rows,
+                                       bdry_cols, nb_out);
 }
 
 }  // extern "C"

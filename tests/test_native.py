@@ -230,3 +230,41 @@ def test_sa_prolongator_i32_matches_i64():
     np.testing.assert_array_equal(got.indptr, ref.indptr)
     np.testing.assert_array_equal(got.indices, ref.indices)
     np.testing.assert_allclose(got.data, ref.data, rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize(
+    "name", ["tet-cube-heat.exo", "brick.exo", "2blocks.exo"]
+)
+def test_assemble_from_conn_matches_two_kernel(data_dir, name):
+    """The fused connectivity->reduced-system kernel must be byte-identical
+    to the node_adjacency + assemble_reduced composition."""
+    from domain_decomposed_pde_solver_tpu.models.heat import (
+        _adjacency_csr_native,
+    )
+    from domain_decomposed_pde_solver_tpu.utils.native import (
+        assemble_from_conn_native,
+        assemble_reduced_native,
+    )
+
+    mesh = read_exodus(os.path.join(data_dir, name))
+    n = mesh.num_nodes
+    is_b, bval = mesh.boundary_value_per_node()
+    free_mask = ~is_b
+    ftn = np.nonzero(free_mask)[0].astype(np.int64)
+    ntf = np.full(n, -1, dtype=np.int64)
+    ntf[ftn] = np.arange(ftn.size)
+    conns = [b_.conn for b_ in mesh.blocks]
+    conn = np.concatenate(conns, axis=0) if len(conns) > 1 else conns[0]
+    for idt in (np.int64, np.int32):
+        fused = assemble_from_conn_native(
+            conn.astype(idt), n, free_mask.astype(np.uint8), ntf,
+            bval.astype(np.float64), ftn.size,
+        )
+        adj = _adjacency_csr_native(mesh.blocks, n)
+        two = assemble_reduced_native(
+            adj[0], adj[1], n, free_mask.astype(np.uint8), ntf,
+            bval.astype(np.float64), ftn.size,
+        )
+        assert fused is not None and two is not None
+        for a, b in zip(fused, two):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
