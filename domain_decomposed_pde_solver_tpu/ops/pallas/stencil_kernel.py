@@ -339,12 +339,23 @@ def pad_stencil_from_parts(
     mx, my, mz = parts["dims"]
     myp = _round_up(my + 2, 8)
     mxp = _round_up(mx + 1, 128)
+    n = mx * my * mz
+
+    # Correction storage is decided BEFORE the bz budget loop: a bf16 corr
+    # block halves its VMEM share, which at 10M-scale grids admits bz=6
+    # instead of 4 — x-window DMA overlap (bz+2)/bz drops 1.5x -> 1.33x.
+    corr_host = np.asarray(parts["corr_pad"][:n], dtype=np.float32)
+    if corr_storage == "auto":
+        from ..dia import _bf16_exact
+
+        corr_storage = "bfloat16" if _bf16_exact(corr_host) else "float32"
+    corr_b = 2 if corr_storage == "bfloat16" else 4
 
     # VMEM estimate per bz: double-buffered x window + pipelined corr/y
     # blocks + pattern planes; keep under ~10 MB of the ~16 MB budget.
     def vmem_bytes(b):
         scratch = 2 * (b + 6) * myp * mxp * 4
-        blocks = 4 * b * myp * mxp * 4  # corr + y, double-buffered
+        blocks = 2 * b * myp * mxp * (4 + corr_b)  # y + corr, double-buffered
         return scratch + blocks
     while bz > 2 and vmem_bytes(bz) > 10 * 2**20:
         bz -= 2
@@ -352,18 +363,12 @@ def pad_stencil_from_parts(
         raise ValueError("bz must be even (z-parity is static per layer)")
 
     Z = _round_up(mz + 2, bz)
-    n = mx * my * mz
 
     # Diagonal correction, embedded.  The correction is nonzero only where
     # the diagonal deviates from the lattice pattern (grid-boundary rows,
     # ~3% of a 10M box), so when sparse enough it ships as (idx, val)
     # pairs and scatters on device instead of uploading the dense padded
     # vector (50 MB -> ~2 MB through the 0.7-80 MB/s tunnel).
-    corr_host = np.asarray(parts["corr_pad"][:n], dtype=np.float32)
-    if corr_storage == "auto":
-        from ..dia import _bf16_exact
-
-        corr_storage = "bfloat16" if _bf16_exact(corr_host) else "float32"
     nz = np.flatnonzero(corr_host)
     n_pad_slots = Z * myp * mxp
     if nz.size < 0.25 * n:
