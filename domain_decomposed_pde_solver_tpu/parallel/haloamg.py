@@ -94,14 +94,17 @@ class _HaloAMGBlock:
         t = self.tval * jnp.take(x_c, self.agg, axis=0)
         return t - self.scale * self.A.matvec(t)
 
-    def _smooth(self, x: jax.Array, b: jax.Array) -> jax.Array:
+    def _smooth(self, x: jax.Array, b: jax.Array, x_zero: bool = False):
         # Chebyshev over [lmax/4, 1.1 lmax] — same algebra as the
         # single-device AMGPreconditioner._smooth.
         upper = 1.1 * self.lmax
         lower = self.lmax / 4.0
         theta = 0.5 * (upper + lower)
         delta = 0.5 * (upper - lower)
-        d = (1.0 / theta) * (self.inv_diag * (b - self.A.matvec(x)))
+        # x_zero: pre-smooth starts from x = 0 — skip the A @ 0 matvec
+        # (and its halo exchange), bit-identically.
+        r0 = b if x_zero else b - self.A.matvec(x)
+        d = (1.0 / theta) * (self.inv_diag * r0)
         sigma = theta / delta
         rho = 1.0 / sigma
         for _ in range(self.smooth_steps):
@@ -113,7 +116,7 @@ class _HaloAMGBlock:
         return x + d
 
     def __call__(self, r: jax.Array) -> jax.Array:
-        x = self._smooth(jnp.zeros_like(r), r)
+        x = self._smooth(jnp.zeros_like(r), r, x_zero=True)
         r_c = self._r_apply(r - self.A.matvec(x))
         mask = jnp.arange(self.n_pad_c) < self.n_c
         r_c = jnp.where(mask, r_c, 0.0)

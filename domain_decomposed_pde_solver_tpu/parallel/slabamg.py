@@ -137,12 +137,15 @@ class _SlabAMGBlock:
         return self._t_transpose(s)
 
     # -- Chebyshev smoothing, same algebra as AMGPreconditioner._smooth --
-    def _smooth(self, x: jax.Array, b: jax.Array) -> jax.Array:
+    def _smooth(self, x: jax.Array, b: jax.Array, x_zero: bool = False):
         upper = 1.1 * self.lmax
         lower = self.lmax / 4.0
         theta = 0.5 * (upper + lower)
         delta = 0.5 * (upper - lower)
-        d = (1.0 / theta) * (self.inv_diag * (b - self.A.matvec(x)))
+        # x_zero: pre-smooth starts from x = 0 — skip the A @ 0 matvec
+        # (and its halo ppermute), bit-identically.
+        r0 = b if x_zero else b - self.A.matvec(x)
+        d = (1.0 / theta) * (self.inv_diag * r0)
         sigma = theta / delta
         rho = 1.0 / sigma
         for _ in range(self.smooth_steps):
@@ -155,7 +158,7 @@ class _SlabAMGBlock:
 
     def __call__(self, r: jax.Array) -> jax.Array:
         """One global V-cycle on the slab-sharded fine level."""
-        x = self._smooth(jnp.zeros_like(r), r)
+        x = self._smooth(jnp.zeros_like(r), r, x_zero=True)
         r_c_loc = self._r_apply(r - self.A.matvec(x))  # (slab_c,)
         # The only non-neighbor collective: gather the coarse residual.
         nd = jax.lax.axis_size(AXIS)

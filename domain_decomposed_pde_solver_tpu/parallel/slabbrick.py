@@ -99,7 +99,7 @@ class SlabBrickBlock:
         )
         return t.reshape(ncz, b, ncy, b, ncx, b).sum(axis=(1, 3, 5)).reshape(-1)
 
-    def _smooth(self, x, r):
+    def _smooth(self, x, r, x_zero: bool = False):
         """Chebyshev over [lmax/4, 1.1*lmax] of D^-1 A_loc with the
         Gershgorin bound lmax=2 (exact for normalized graph Laplacians;
         local sub-Laplacians only shrink it)."""
@@ -107,7 +107,9 @@ class SlabBrickBlock:
         upper, lower = 1.1 * lmax, lmax / 4.0
         theta = 0.5 * (upper + lower)
         delta = 0.5 * (upper - lower)
-        d = (1.0 / theta) * (self.inv_diag * (r - self._matvec_local(x)))
+        # x_zero: pre-smooth starts from x = 0 — skip the A @ 0 matvec.
+        r0 = r if x_zero else r - self._matvec_local(x)
+        d = (1.0 / theta) * (self.inv_diag * r0)
         sigma = theta / delta
         rho = 1.0 / sigma
         for _ in range(self.smooth_steps):
@@ -126,7 +128,7 @@ class SlabBrickBlock:
         matvec, symmetric, so CG stays valid."""
         from .sharded import AXIS
 
-        x = self._smooth(jnp.zeros_like(r), r)
+        x = self._smooth(jnp.zeros_like(r), r, x_zero=True)
         rc = self._t_transpose(r - self._matvec_local(x))
         x = x + self._t_apply(self.coarse_inv @ rc)
         x = self._smooth(x, r)

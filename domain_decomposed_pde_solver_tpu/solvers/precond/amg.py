@@ -541,18 +541,23 @@ class AMGPreconditioner:
         return x
 
     # -- device-side V-cycle (unrolled: level count is static) ----------
-    def _smooth(self, lvl: AMGLevel, x, b):
+    def _smooth(self, lvl: AMGLevel, x, b, x_zero: bool = False):
+        # x_zero: the pre-smooth starts from x = 0, but A @ 0 through an
+        # opaque pallas_call cannot be constant-folded by XLA — skipping
+        # it drops one full SpMV per level per V-cycle, bit-identically.
         if self.smoother == "jacobi":
             omega = 2.0 / 3.0
-            for _ in range(self.smooth_steps):
-                x = x + omega * lvl.inv_diag * (b - _apply_A(lvl.A, x))
+            for i in range(self.smooth_steps):
+                r = b if (x_zero and i == 0) else b - _apply_A(lvl.A, x)
+                x = x + omega * lvl.inv_diag * r
             return x
         # Chebyshev over [lmax/4, 1.1 lmax] of D^-1 A (standard SA range).
         upper = 1.1 * lvl.lmax
         lower = lvl.lmax / 4.0
         theta = 0.5 * (upper + lower)
         delta = 0.5 * (upper - lower)
-        d = (1.0 / theta) * (lvl.inv_diag * (b - _apply_A(lvl.A, x)))
+        r0 = b if x_zero else b - _apply_A(lvl.A, x)
+        d = (1.0 / theta) * (lvl.inv_diag * r0)
         sigma = theta / delta
         rho = 1.0 / sigma
         for _ in range(self.smooth_steps):
@@ -569,7 +574,7 @@ class AMGPreconditioner:
                 return self.coarse_inv * b
             return self.coarse_inv @ b
         lvl = self.levels[k]
-        x = self._smooth(lvl, jnp.zeros_like(b), b)
+        x = self._smooth(lvl, jnp.zeros_like(b), b, x_zero=True)
         r_c = lvl.R.matvec(b - _apply_A(lvl.A, x))
         x_c = self._vcycle(k + 1, r_c)
         x = x + lvl.P.matvec(x_c)
