@@ -30,6 +30,11 @@ from .slabpad import (
     build_slab_pad_stencil,
     slab_pad_cg_solve,
 )
+from .slabpadamg import (
+    SlabPadAMG,
+    build_slab_pad_amg,
+    slab_pad_amg_cg_solve,
+)
 from .multihost import (
     initialize_multihost,
     multihost_slab_cg_solve,
@@ -72,6 +77,9 @@ __all__ = [
     "SlabPadStencilOperator",
     "build_slab_pad_stencil",
     "slab_pad_cg_solve",
+    "SlabPadAMG",
+    "build_slab_pad_amg",
+    "slab_pad_amg_cg_solve",
     "HaloAMG",
     "build_halo_amg",
     "halo_amg_cg_solve",

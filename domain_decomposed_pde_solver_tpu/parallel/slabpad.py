@@ -201,22 +201,34 @@ class SlabPadPlan:
 
 
 def build_slab_pad_stencil(
-    A: PadStencilOperator, nparts: int
+    A: PadStencilOperator, nparts: int, z_align: int = 1
 ) -> Optional[SlabPadPlan]:
     """Split a :class:`PadStencilOperator` into P z-layer slabs.
 
-    Returns None when the grid has fewer layers than the minimum slab
-    (the slab must cover more than the 1-layer halo depth).
+    ``z_align``: additionally require the owned-layer count L to be a
+    multiple of this (the slab-AMG composition needs slab boundaries on
+    whole brick-aggregate rows).  Returns None when the grid has fewer
+    layers than the minimum slab (the slab must cover more than the
+    1-layer halo depth) or no L satisfies the congruences.
     """
     mx, my, mz = A.dims
     bz = A.bz
-    # L: smallest count covering mz/P with L even, L + 2 ≡ 0 (mod bz), and
-    # L >= 2*bz - 2 (the kernel's double-buffered DMA streams (bz+2)-layer
-    # windows, so the local extent L + 2 must be at least bz + 2 — i.e. at
-    # least two grid blocks).
+    # L: smallest count covering mz/P with L even, L + 2 ≡ 0 (mod bz),
+    # L ≡ 0 (mod z_align), and L >= 2*bz - 2 (the kernel's double-buffered
+    # DMA streams (bz+2)-layer windows, so the local extent L + 2 must be
+    # at least bz + 2 — i.e. at least two grid blocks).
     L_min = max(2 * bz - 2, -(-mz // nparts))
-    L = -(-(L_min + 2) // bz) * bz - 2
-    if L < 2 or (L % 2) != 0:
+    k0 = -(-(L_min + 2) // bz)
+    z_align = max(int(z_align), 1)
+    L = None
+    # k*bz - 2 cycles through residues mod z_align with period
+    # z_align/gcd(bz, z_align) <= z_align; scan one full cycle (+slack).
+    for k in range(k0, k0 + z_align + 2):
+        cand = k * bz - 2
+        if cand % 2 == 0 and cand % z_align == 0:
+            L = cand
+            break
+    if L is None or L < 2:
         return None
     if nparts > 1 and (nparts - 1) * L >= mz:
         # A trailing slab would own zero real layers — correct (its zlim
