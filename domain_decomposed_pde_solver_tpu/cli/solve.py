@@ -362,6 +362,34 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
             else None
         )
         if dims is not None and int(np.prod(dims)) == system.A.n_rows:
+            # Fastest engine first: the same global hierarchy with the
+            # Pallas pad-stencil kernel as the per-device fine-level
+            # matvec (parallel/slabpadamg.py) — TPU f32 only (the
+            # interpret-mode kernel off-TPU would lose to the XLA
+            # stencil form below).
+            import jax as _jax
+
+            if (
+                np.dtype(dtype) == np.float32
+                and _jax.devices()[0].platform == "tpu"
+            ):
+                from ..parallel.slabpadamg import (
+                    build_slab_pad_amg,
+                    slab_pad_amg_cg_solve,
+                )
+
+                spamg = build_slab_pad_amg(system.A, dims, cfg.partitions)
+                if spamg is not None:
+                    x_host, result = slab_pad_amg_cg_solve(
+                        spamg,
+                        system.b.astype(np.float32),
+                        x0_host.astype(np.float32),
+                        tol=cfg.tolerance,
+                        maxiter=cfg.iterations,
+                    )
+                    if snapshot_cb is not None:
+                        snapshot_cb(int(result.iterations), x_host)
+                    return result, x_host
             samg = build_slab_amg(
                 system.A, dims, cfg.partitions, dtype=np.dtype(dtype)
             )
