@@ -147,18 +147,27 @@ def edges_from_blocks(mesh_blocks, n: int):
     return np.ascontiguousarray(uniq // n), np.ascontiguousarray(uniq % n)
 
 
+def _uniform_conn(mesh_blocks):
+    """Concatenated connectivity when every block shares nodes-per-elem;
+    None otherwise (heterogeneous meshes take the per-block paths).  The
+    single eligibility gate for both the fused and the two-kernel native
+    assembly, so the two paths always accept the same meshes."""
+    if not mesh_blocks:
+        return None
+    if len({b.nodes_per_elem for b in mesh_blocks}) != 1:
+        return None
+    conns = [b.conn for b in mesh_blocks]
+    return np.concatenate(conns, axis=0) if len(conns) > 1 else conns[0]
+
+
 def _adjacency_csr_native(mesh_blocks, n: int):
     """(indptr, indices) node adjacency via the native kernel, or None
     (unavailable, or heterogeneous nodes-per-elem blocks)."""
     from ..utils.native import node_adjacency_native
 
-    if not mesh_blocks:
+    conn = _uniform_conn(mesh_blocks)
+    if conn is None:
         return None
-    npes = {b.nodes_per_elem for b in mesh_blocks}
-    if len(npes) != 1:
-        return None
-    conns = [b.conn for b in mesh_blocks]
-    conn = np.concatenate(conns, axis=0) if len(conns) > 1 else conns[0]
     return node_adjacency_native(conn, n)
 
 
@@ -191,14 +200,10 @@ def assemble_heat_system(mesh: MeshModel, dtype=np.float64) -> HeatSystem:
         # boundary-node rows); falls back to the two-kernel
         # adjacency-then-assemble form, byte-identical either way.
         res = None
-        npes = {b_.nodes_per_elem for b_ in mesh.blocks} if mesh.blocks else set()
-        if len(npes) == 1:
+        conn = _uniform_conn(mesh.blocks)
+        if conn is not None:
             from ..utils.native import assemble_from_conn_native
 
-            conns = [b_.conn for b_ in mesh.blocks]
-            conn = (
-                np.concatenate(conns, axis=0) if len(conns) > 1 else conns[0]
-            )
             res = assemble_from_conn_native(
                 conn, n, free_mask.astype(np.uint8), node_to_free,
                 bval.astype(np.float64), n_free,

@@ -95,25 +95,15 @@ class _HaloAMGBlock:
         return t - self.scale * self.A.matvec(t)
 
     def _smooth(self, x: jax.Array, b: jax.Array, x_zero: bool = False):
-        # Chebyshev over [lmax/4, 1.1 lmax] — same algebra as the
-        # single-device AMGPreconditioner._smooth.
-        upper = 1.1 * self.lmax
-        lower = self.lmax / 4.0
-        theta = 0.5 * (upper + lower)
-        delta = 0.5 * (upper - lower)
-        # x_zero: pre-smooth starts from x = 0 — skip the A @ 0 matvec
-        # (and its halo exchange), bit-identically.
-        r0 = b if x_zero else b - self.A.matvec(x)
-        d = (1.0 / theta) * (self.inv_diag * r0)
-        sigma = theta / delta
-        rho = 1.0 / sigma
-        for _ in range(self.smooth_steps):
-            x = x + d
-            res = self.inv_diag * (b - self.A.matvec(x))
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            d = rho_new * rho * d + (2.0 * rho_new / delta) * res
-            rho = rho_new
-        return x + d
+        # The shared Chebyshev smoother (solvers/precond/cheby.py) — the
+        # same algebra as the single-device AMGPreconditioner._smooth, so
+        # iteration counts stay P-independent by construction.
+        from ..solvers.precond.cheby import chebyshev_smooth
+
+        return chebyshev_smooth(
+            self.A.matvec, self.inv_diag, self.lmax, self.smooth_steps,
+            x, b, x_zero=x_zero,
+        )
 
     def __call__(self, r: jax.Array) -> jax.Array:
         x = self._smooth(jnp.zeros_like(r), r, x_zero=True)

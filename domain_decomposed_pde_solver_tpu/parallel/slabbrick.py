@@ -100,25 +100,15 @@ class SlabBrickBlock:
         return t.reshape(ncz, b, ncy, b, ncx, b).sum(axis=(1, 3, 5)).reshape(-1)
 
     def _smooth(self, x, r, x_zero: bool = False):
-        """Chebyshev over [lmax/4, 1.1*lmax] of D^-1 A_loc with the
-        Gershgorin bound lmax=2 (exact for normalized graph Laplacians;
-        local sub-Laplacians only shrink it)."""
-        lmax = 2.0
-        upper, lower = 1.1 * lmax, lmax / 4.0
-        theta = 0.5 * (upper + lower)
-        delta = 0.5 * (upper - lower)
-        # x_zero: pre-smooth starts from x = 0 — skip the A @ 0 matvec.
-        r0 = r if x_zero else r - self._matvec_local(x)
-        d = (1.0 / theta) * (self.inv_diag * r0)
-        sigma = theta / delta
-        rho = 1.0 / sigma
-        for _ in range(self.smooth_steps):
-            x = x + d
-            res = self.inv_diag * (r - self._matvec_local(x))
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            d = rho_new * rho * d + (2.0 * rho_new / delta) * res
-            rho = rho_new
-        return x + d
+        """Shared Chebyshev smoother over D^-1 A_loc with the Gershgorin
+        bound lmax=2 (exact for normalized graph Laplacians; local
+        sub-Laplacians only shrink it)."""
+        from ..solvers.precond.cheby import chebyshev_smooth
+
+        return chebyshev_smooth(
+            self._matvec_local, self.inv_diag, 2.0, self.smooth_steps,
+            x, r, x_zero=x_zero,
+        )
 
     def __call__(self, r: jax.Array) -> jax.Array:
         """One symmetric two-level cycle on this device's slab block, plus

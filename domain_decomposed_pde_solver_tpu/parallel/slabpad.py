@@ -76,7 +76,7 @@ class SlabPadStencilOperator:
 
     quads: jax.Array  # (n_groups, 8) f32
     zlim: jax.Array  # (1, 2) int32
-    corr_ext: jax.Array  # ((L+2)*myp, mxp) f32
+    corr_ext: jax.Array  # ((L+2)*myp, mxp) f32 or bf16
     taps: Tuple[Tuple[int, int, int], ...]
     groups: Tuple[Tuple[int, ...], ...]
     group_const: Tuple[bool, ...]
@@ -154,7 +154,7 @@ class SlabPadPlan:
     bz: int
     quads: np.ndarray  # (n_groups, 8)
     zlims: np.ndarray  # (nparts, 1, 2) int32
-    corr_ext: np.ndarray  # (nparts, (L+2)*myp, mxp) f32
+    corr_ext: np.ndarray  # (nparts, (L+2)*myp, mxp) f32 or bf16
     inv_diag: np.ndarray  # (nparts, L*myp*mxp) f32 (pad slots 1.0)
     meta: dict  # taps/groups/group_const/group_kind/period
 
@@ -237,11 +237,15 @@ def build_slab_pad_stencil(
     myp, mxp = A.myp, A.mxp
     layer = myp * mxp
 
-    corr3 = np.asarray(A.corr, dtype=np.float32).reshape(A.Z, myp, mxp)
+    # Preserve the operator's corr storage dtype (bfloat16 when exact):
+    # the bz the VMEM budget picked assumed that byte width, and the
+    # kernel reads corr blocks in either dtype (.astype(f32) in-kernel).
+    corr_np = np.asarray(A.corr)
+    corr3 = corr_np.reshape(A.Z, myp, mxp)
     corr_real = corr3[1 : mz + 1]  # (mz, myp, mxp)
-    corr_full = np.zeros((nparts * L, myp, mxp), np.float32)
+    corr_full = np.zeros((nparts * L, myp, mxp), corr_np.dtype)
     corr_full[:mz] = corr_real
-    corr_ext = np.zeros((nparts, (L + 2) * myp, mxp), np.float32)
+    corr_ext = np.zeros((nparts, (L + 2) * myp, mxp), corr_np.dtype)
     for p_i in range(nparts):
         corr_ext[p_i, myp : (L + 1) * myp] = corr_full[
             p_i * L : (p_i + 1) * L

@@ -130,23 +130,14 @@ class _SlabPadAMGBlock:
         s = w - self.A.matvec(self.scale * w)
         return self._t_transpose(s)
 
-    # -- Chebyshev smoothing, same algebra as AMGPreconditioner._smooth --
+    # -- shared Chebyshev smoother, same algebra as AMGPreconditioner --
     def _smooth(self, x: jax.Array, b: jax.Array, x_zero: bool = False):
-        upper = 1.1 * self.lmax
-        lower = self.lmax / 4.0
-        theta = 0.5 * (upper + lower)
-        delta = 0.5 * (upper - lower)
-        r0 = b if x_zero else b - self.A.matvec(x)
-        d = (1.0 / theta) * (self.inv_diag * r0)
-        sigma = theta / delta
-        rho = 1.0 / sigma
-        for _ in range(self.smooth_steps):
-            x = x + d
-            res = self.inv_diag * (b - self.A.matvec(x))
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            d = rho_new * rho * d + (2.0 * rho_new / delta) * res
-            rho = rho_new
-        return x + d
+        from ..solvers.precond.cheby import chebyshev_smooth
+
+        return chebyshev_smooth(
+            self.A.matvec, self.inv_diag, self.lmax, self.smooth_steps,
+            x, b, x_zero=x_zero,
+        )
 
     def __call__(self, r: jax.Array) -> jax.Array:
         """One global V-cycle, pad-stencil fine level."""
@@ -194,10 +185,13 @@ def build_slab_pad_amg(
     (``choose_operator(..., pad_stencil=...)``); built from the CSR when
     omitted.  f32 only (the kernel's compute dtype).
     """
+    import math
+
     mx, my, mz = (int(v) for v in grid_dims)
     if mx * my * mz != A.n_rows:
         return None
-    if pad_op is None:
+
+    def _pad_op_from_csr(bz=None):
         from ..ops.dia import pack_dia_host
         from ..ops.pallas.stencil_kernel import pad_stencil_from_parts
         from ..ops.stencil import stencil_parts_from_packed
@@ -210,15 +204,41 @@ def build_slab_pad_amg(
         )
         if parts is None:
             return None
-        pad_op = pad_stencil_from_parts(parts)
+        return (
+            pad_stencil_from_parts(parts)
+            if bz is None
+            else pad_stencil_from_parts(parts, bz=bz)
+        )
+
+    if pad_op is None:
+        pad_op = _pad_op_from_csr()
+        if pad_op is None:
+            return None
     plan = build_slab_pad_stencil(pad_op, nparts, z_align=brick)
+    if plan is None and math.gcd(pad_op.bz, brick) > 2:
+        # The slab congruences (L ≡ -2 mod bz, L ≡ 0 mod brick) are
+        # solvable iff gcd(bz, brick) | 2 — e.g. the bz=6 the VMEM budget
+        # picks at 10M-scale grids is incompatible with brick=6.  Rebuild
+        # the operator with bz=4 (compatible with any brick; always fits
+        # the VMEM budget at realistic widths) rather than silently
+        # falling back to the slower slab engine.
+        pad_op = _pad_op_from_csr(bz=4)
+        if pad_op is not None:
+            plan = build_slab_pad_stencil(pad_op, nparts, z_align=brick)
     if plan is None:
         return None
 
     info = []
+    amg_kwargs.pop("fine_operator", None)  # this builder supplies it
     M = smoothed_aggregation_setup(
         A, dtype=jnp.float32, grid_dims=grid_dims, brick=brick,
-        level_info_out=info, **amg_kwargs,
+        level_info_out=info,
+        # Reuse the pad operator as the level-0 operator: setup then skips
+        # its own choose_operator pack (a second multi-second nnz pass at
+        # 10M) and the >4M device path computes the (discarded) level-0
+        # transfer vectors on device instead of uploading 3 x 50 MB.
+        fine_operator=pad_op,
+        **amg_kwargs,
     )
     if not M.levels or not info:
         return None

@@ -552,21 +552,12 @@ class AMGPreconditioner:
                 x = x + omega * lvl.inv_diag * r
             return x
         # Chebyshev over [lmax/4, 1.1 lmax] of D^-1 A (standard SA range).
-        upper = 1.1 * lvl.lmax
-        lower = lvl.lmax / 4.0
-        theta = 0.5 * (upper + lower)
-        delta = 0.5 * (upper - lower)
-        r0 = b if x_zero else b - _apply_A(lvl.A, x)
-        d = (1.0 / theta) * (lvl.inv_diag * r0)
-        sigma = theta / delta
-        rho = 1.0 / sigma
-        for _ in range(self.smooth_steps):
-            x = x + d
-            res = lvl.inv_diag * (b - _apply_A(lvl.A, x))
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            d = rho_new * rho * d + (2.0 * rho_new / delta) * res
-            rho = rho_new
-        return x + d
+        from .cheby import chebyshev_smooth
+
+        return chebyshev_smooth(
+            lambda v: _apply_A(lvl.A, v), lvl.inv_diag, lvl.lmax,
+            self.smooth_steps, x, b, x_zero=x_zero,
+        )
 
     def _vcycle(self, k: int, b: jax.Array) -> jax.Array:
         if k == len(self.levels):

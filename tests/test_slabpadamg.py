@@ -145,3 +145,37 @@ def test_vcycle_matches_single_device_hierarchy(box):
     np.testing.assert_allclose(
         zP, z1_log, rtol=2e-4, atol=2e-4 * np.abs(z1_log).max()
     )
+
+
+def test_bz6_brick6_rebuild(box):
+    """gcd(bz, brick) = 6 makes the slab congruences unsolvable (L ≡ -2
+    mod 6 and L ≡ 0 mod 6); the builder must rebuild the operator with a
+    compatible block size instead of silently returning None — this is
+    exactly the 10M-scale configuration (the VMEM budget picks bz=6
+    there)."""
+    from domain_decomposed_pde_solver_tpu.ops.dia import pack_dia_host
+    from domain_decomposed_pde_solver_tpu.ops.pallas.stencil_kernel import (
+        pad_stencil_from_parts,
+    )
+    from domain_decomposed_pde_solver_tpu.ops.stencil import (
+        stencil_parts_from_packed,
+    )
+    from domain_decomposed_pde_solver_tpu.parallel.slabpad import (
+        build_slab_pad_stencil,
+    )
+
+    mesh, sy, dims = box
+    packed = pack_dia_host(sy.A, dtype=jnp.float32)
+    parts = stencil_parts_from_packed(packed[0], packed[1], sy.A.n_rows, dims)
+    pad6 = pad_stencil_from_parts(parts, bz=6)
+    assert pad6.bz == 6
+    assert build_slab_pad_stencil(pad6, 2, z_align=6) is None  # unsolvable
+    samg = build_slab_pad_amg(sy.A, dims, 2, pad_op=pad6, brick=6)
+    assert samg is not None, "builder did not rebuild with a compatible bz"
+    assert samg.plan.bz in (2, 4, 8)
+    assert samg.plan.L % 6 == 0 and (samg.plan.L + 2) % samg.plan.bz == 0
+    b = sy.b.astype(np.float32) / float(np.abs(sy.b).max())
+    x, res = slab_pad_amg_cg_solve(
+        samg, b, np.zeros_like(b), tol=1e-6, maxiter=100
+    )
+    assert bool(res.converged)
