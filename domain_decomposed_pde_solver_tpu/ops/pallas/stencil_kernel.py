@@ -446,7 +446,17 @@ def _kernel(
     # indexing is tile-aligned by construction) and the first/last-block
     # clamp shift ``sh`` is folded into the DMA destination offset (DMAs
     # carry no alignment constraint).  Read offsets below are Python ints.
-    def dma(slot, blk):
+    #
+    # Ring reuse: the 2 window layers each block shares with its
+    # predecessor (a = 0, 1 == predecessor's a = bz, bz+1) are VMEM-copied
+    # from the other buffer instead of re-fetched, so x streams from HBM
+    # exactly once (block 0 aside) — HBM x-traffic (bz+2)/bz -> 1.0.  The
+    # copy completes before the next block's prefetch is enqueued into
+    # that same buffer, so the two in-flight DMAs stay disjoint.
+    slot = i % 2
+    other = (i + 1) % 2
+
+    def dma_full(blk):  # block 0 only: the whole (bz+2)-layer window
         cl = jnp.clip(blk * bz - 1, 0, Z - (bz + 2))
         sh = blk * bz - 1 - cl  # in {-1, 0, +1}
         return pltpu.make_async_copy(
@@ -455,16 +465,37 @@ def _kernel(
             sems.at[slot],
         )
 
+    def dma_ring(dslot, blk):  # blocks >= 1: only the bz NEW layers
+        s = blk * bz + 1
+        cl = jnp.clip(s, 0, Z - bz)
+        sh = s - cl  # in {0, +1} (top-block clamp only; a=bz+1 stays
+        # unwritten there — it feeds only the Z-1 output layer, which the
+        # z-validity mask zeroes)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(cl * myp, bz * myp), :],
+            scratch.at[dslot, pl.ds((GUARD + 2 - sh) * myp, bz * myp), :],
+            sems.at[dslot],
+        )
+
     @pl.when(i == 0)
     def _():
-        dma(0, 0).start()
+        dma_full(0).start()
+        dma_full(0).wait()
+
+    @pl.when(i > 0)
+    def _():
+        dma_ring(slot, i).wait()
+        cp = pltpu.make_async_copy(
+            scratch.at[other, pl.ds((GUARD + bz) * myp, 2 * myp), :],
+            scratch.at[slot, pl.ds(GUARD * myp, 2 * myp), :],
+            sems.at[2],
+        )
+        cp.start()
+        cp.wait()
 
     @pl.when(i + 1 < nb)
     def _():
-        dma((i + 1) % 2, i + 1).start()
-
-    dma(i % 2, i).wait()
-    slot = i % 2
+        dma_ring(other, i + 1).start()
 
     # Static row/lane interior mask (rows [1, my+1), lanes [0, mx)).
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (myp, mxp), 0)
@@ -493,118 +524,144 @@ def _kernel(
                 boards[which] = board("y") * board("x")
         return boards[which]
 
+    # Caches shared across the bz output layers.  Every key is ABSOLUTE —
+    # source scratch layer a = k + dz + 1 (a Python int), z-parity zp
+    # baked into plane keys — so work that adjacent output layers have in
+    # common is traced once per grid step, not once per layer:
+    #   * coefficient planes depend only on zp, which alternates, so each
+    #     plane synthesizes at most twice per step instead of per layer;
+    #   * symmetric stencils read the same source layer from both sides
+    #     (output k sees layer a = k+2 as dz=+1, output k+2 sees it as
+    #     dz=-1) with identical dy sets and parity-normalized planes, so
+    #     the per-source-layer partial sums (``wparts``) and tall-window
+    #     loads dedup across the two consumers.
+    talls = {}  # a -> (myp+16, mxp) aligned tall window [multi-tile]
+    base_wins = {}  # (a, dy) -> (myp, mxp) direct window [single-tile]
+    planes = {}  # plane key (incl. zp) -> ("s", scalar) | ("p", array)
+    wparts = {}  # (a, dys) -> per-source-layer partial window sum
+    wsums = {}  # sorted window-key tuple -> summed base windows
+    contents = {}  # ((plane_key, wkey), ...) -> pre-roll bucket sum
+    rolled = {}  # (dx, content key) -> lane-rolled content [single-tile]
+    rowed = {}  # (dy, content key) -> (myp, mxp) row-shifted [multi-tile]
+    dx_sums = {}  # sorted rowed-key tuple -> summed rows [multi-tile]
+
+    def tall(a):
+        if a not in talls:
+            base = (a + GUARD) * myp  # static (Python int)
+            talls[a] = scratch[slot, pl.ds(base - 8, myp + 16), :]
+        return talls[a]
+
+    def win(a, dy):
+        key = (a, dy)
+        if key not in base_wins:
+            base = (a + GUARD) * myp
+            base_wins[key] = scratch[slot, pl.ds(base + dy, myp), :]
+        return base_wins[key]
+
+    def plane(pk):
+        """-> ("s", scalar) | ("p", (H, mxp) array)."""
+        if pk in planes:
+            return planes[pk]
+        if pk[0] == "c":
+            v = ("s", q_ref[pk[1], pk[2] * 4])
+        else:
+            _, g, yf, xf, zp = pk
+            kind = group_kind[g]
+
+            def q(yp, xp):
+                return q_ref[g, zp * 4 + (yp ^ yf) * 2 + (xp ^ xf)]
+
+            q00 = q(0, 0)
+            if kind == "x":
+                arr = q00 + (q(0, 1) - q00) * board("x")
+            elif kind == "y":
+                arr = q00 + (q(1, 0) - q00) * board("y")
+            elif kind == "d":
+                arr = q00 + (q(0, 1) - q00) * board("d")
+            else:
+                arr = (
+                    q00
+                    + (q(0, 1) - q00) * board("x")
+                    + (q(1, 0) - q00) * board("y")
+                    + (q(1, 1) - q(0, 1) - q(1, 0) + q00) * board("xy")
+                )
+            v = ("p", arr)
+        planes[pk] = v
+        return v
+
+    def wsum(keys):
+        key = tuple(sorted(keys))
+        if key not in wsums:
+            if single:
+                # Sum within each source layer first (those partials are
+                # what symmetric neighbors share), then across layers.
+                per_a = defaultdict(list)
+                for a, dy in key:
+                    per_a[a].append(dy)
+                parts_l = []
+                for a in sorted(per_a):
+                    pk2 = (a, tuple(sorted(per_a[a])))
+                    if pk2 not in wparts:
+                        wparts[pk2] = _tree_sum(
+                            [win(a, dy) for dy in pk2[1]]
+                        )
+                    parts_l.append(wparts[pk2])
+                wsums[key] = _tree_sum(parts_l)
+            else:
+                wsums[key] = _tree_sum([tall(a) for a in key])
+        return key
+
+    def content(cdict):
+        items = tuple((pk, wsum(cdict[pk])) for pk in sorted(cdict))
+        if items not in contents:
+            terms = []
+            for pk, wk in items:
+                kindv, v = plane(pk)
+                terms.append(v * wsums[wk])
+            contents[items] = _tree_sum(terms)
+        return contents[items], items
+
     for k in range(bz):
         ell = i * bz + k  # absolute output layer
         zp = (k - 1) % 2  # z-parity of grid layer (bz even, layer = ell-1)
-        base_wins = {}  # (dz, dy) -> (myp, mxp) direct window [single-tile]
-        talls = {}  # dz -> (myp+16, mxp) aligned tall window [multi-tile]
-
-        def tall(dz):
-            if dz not in talls:
-                base = (k + dz + 1 + GUARD) * myp  # static (Python int)
-                talls[dz] = scratch[slot, pl.ds(base - 8, myp + 16), :]
-            return talls[dz]
-
-        def win(dz, dy):
-            key = (dz, dy)
-            if key not in base_wins:
-                base = (k + dz + 1 + GUARD) * myp
-                base_wins[key] = scratch[slot, pl.ds(base + dy, myp), :]
-            return base_wins[key]
 
         def center():
-            return win(0, 0) if single else tall(0)[8 : 8 + myp]
+            return win(k + 1, 0) if single else tall(k + 1)[8 : 8 + myp]
 
-        # Coefficient planes, synthesized from SMEM scalars.  A factored
-        # roll by (dy, dx) shifts the plane the opposite way; with <=2-
-        # periodic patterns that is a parity-bit flip, normalized into the
-        # cache key per the group's kind (so e.g. TETRA4's xor patterns
-        # give the SAME plane for a dy-flip and a dx-flip).
-        planes = {}
-
+        # Coefficient planes: a factored roll by (dy, dx) shifts the plane
+        # the opposite way; with <=2-periodic patterns that is a parity-
+        # bit flip, normalized into the cache key per the group's kind (so
+        # e.g. TETRA4's xor patterns give the SAME plane for a dy-flip and
+        # a dx-flip).
         def plane_key(g, yf, xf):
             kind = group_kind[g]
             if kind == "c":
-                return ("c", g)
+                return ("c", g, zp)
             if kind == "x":
-                return ("p", g, 0, xf)
+                return ("p", g, 0, xf, zp)
             if kind == "y":
-                return ("p", g, yf, 0)
+                return ("p", g, yf, 0, zp)
             if kind == "d":
-                return ("p", g, 0, yf ^ xf)
-            return ("p", g, yf, xf)
-
-        def plane(pk):
-            """-> ("s", scalar) | ("p", (H, mxp) array)."""
-            if pk in planes:
-                return planes[pk]
-            if pk[0] == "c":
-                v = ("s", q_ref[pk[1], zp * 4])
-            else:
-                _, g, yf, xf = pk
-                kind = group_kind[g]
-
-                def q(yp, xp):
-                    return q_ref[g, zp * 4 + (yp ^ yf) * 2 + (xp ^ xf)]
-
-                q00 = q(0, 0)
-                if kind == "x":
-                    arr = q00 + (q(0, 1) - q00) * board("x")
-                elif kind == "y":
-                    arr = q00 + (q(1, 0) - q00) * board("y")
-                elif kind == "d":
-                    arr = q00 + (q(0, 1) - q00) * board("d")
-                else:
-                    arr = (
-                        q00
-                        + (q(0, 1) - q00) * board("x")
-                        + (q(1, 0) - q00) * board("y")
-                        + (q(1, 1) - q(0, 1) - q(1, 0) + q00) * board("xy")
-                    )
-                v = ("p", arr)
-            planes[pk] = v
-            return v
+                return ("p", g, 0, yf ^ xf, zp)
+            return ("p", g, yf, xf, zp)
 
         # Shift buckets: single-tile factors only the lane roll (windows
         # absorb dz/dy), multi-tile factors both the sublane and the lane
-        # roll out of per-dz tall windows.  bucket -> {plane_key: [wkey]}.
+        # roll out of per-source-layer tall windows.
+        # bucket -> {plane_key: [absolute window key]}.
         contrib = defaultdict(lambda: defaultdict(list))
         for g, tap_idx in enumerate(groups):
             for d in tap_idx:
                 dx, dy, dz = taps[d]
+                a = k + dz + 1
                 if single:
-                    contrib[dx][plane_key(g, 0, dx & 1)].append((dz, dy))
+                    contrib[dx][plane_key(g, 0, dx & 1)].append((a, dy))
                 else:
                     contrib[(dx, dy)][plane_key(g, dy & 1, dx & 1)].append(
-                        dz
+                        a
                     )
 
-        wsums = {}  # sorted window-key tuple -> summed base windows
-
-        def wsum(keys):
-            key = tuple(sorted(keys))
-            if key not in wsums:
-                wsums[key] = _tree_sum(
-                    [win(*kk) if single else tall(kk) for kk in key]
-                )
-            return key
-
-        contents = {}  # ((plane_key, wkey), ...) -> pre-roll bucket sum
-
-        def content(cdict):
-            items = tuple(
-                (pk, wsum(cdict[pk])) for pk in sorted(cdict)
-            )
-            if items not in contents:
-                terms = []
-                for pk, wk in items:
-                    kindv, v = plane(pk)
-                    terms.append(v * wsums[wk])
-                contents[items] = _tree_sum(terms)
-            return contents[items], items
-
         if single:
-            rolled = {}
             out_terms = []
             for dx in sorted(contrib):
                 U, ckey = content(contrib[dx])
@@ -616,7 +673,6 @@ def _kernel(
                 out_terms.append(U)
             acc = _tree_sum(out_terms)
         else:
-            rowed = {}  # (dy, content key) -> (myp, mxp) row-shifted
 
             def row_shift(dy, cdict):
                 c, ckey = content(cdict)
@@ -634,7 +690,6 @@ def _kernel(
             per_dx = defaultdict(list)
             for dx, dy in contrib:
                 per_dx[dx].append(dy)
-            dx_sums = {}
             out_terms = []
             for dx in sorted(per_dx):
                 arrs, keys = [], []
@@ -716,7 +771,7 @@ def _pad_stencil_call(meta, quads, zlim, x2, corr2, SL, interpret, vma=None):
         out_shape=jax.ShapeDtypeStruct((Z * myp, mxp), jnp.float32, vma=vma),
         scratch_shapes=[
             pltpu.VMEM((2, SL * myp, mxp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),  # [0:2] x-window ring, [2] boundary copy
         ],
         interpret=interpret,
     )(quads, zlim, x2, corr2)
