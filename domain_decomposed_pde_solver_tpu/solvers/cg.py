@@ -86,7 +86,10 @@ def cg_solve(
     return result
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "dot"))
+# ``tol`` is traced (it only scales the while_loop target), so sweeping
+# tolerances — e.g. the adaptive inner tolerance of iterative refinement —
+# reuses one compiled program instead of recompiling per value.
+@partial(jax.jit, static_argnames=("maxiter", "dot"))
 def cg_solve_with_state(
     A: Any,
     b: jax.Array,

@@ -94,3 +94,38 @@ def test_refinement_over_bsg_operator():
     assert (
         np.linalg.norm(S @ res.x - sy.b) / np.linalg.norm(sy.b) < 1e-9
     )
+
+
+def test_adaptive_inner_tol_schedule():
+    """The final sweep's inner tolerance widens to the remaining gap (a
+    full-depth inner solve would overshoot the target by orders of
+    magnitude); early sweeps keep the configured inner_tol; the result is
+    clamped to a solver-meaningful range."""
+    from domain_decomposed_pde_solver_tpu.solvers.mixed import (
+        _adaptive_inner_tol,
+    )
+
+    # First sweep (relres = 1): gap is tiny, keep inner_tol.
+    assert _adaptive_inner_tol(1e-6, 1e-8, 1.0) == 1e-6
+    # Near the target: only one decade left -> widen to ~0.25 * 10^-1.
+    assert _adaptive_inner_tol(1e-6, 1e-8, 1e-7) == pytest.approx(0.025)
+    # A hair above the target: a shallow inner solve suffices.
+    assert _adaptive_inner_tol(1e-6, 1e-8, 2e-8) == pytest.approx(0.125)
+    # Already converged input degenerates safely.
+    assert _adaptive_inner_tol(1e-6, 1e-8, 0.0) == 0.5
+
+
+def test_refinement_adaptive_tol_saves_inner_iterations():
+    """Adaptive inner tolerance converges to the same target with fewer
+    total inner iterations than it would overshoot to — the achieved
+    relres should land near (below) tol rather than orders below it."""
+    mesh = box_mesh(10, 10, 10, elem_type="TETRA4")
+    sys_ = assemble_heat_system(mesh)
+    res = iterative_refinement_solve(sys_.A, sys_.b, tol=1e-8, inner_tol=1e-6)
+    assert res.converged and res.relres < 1e-8
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix(
+        (sys_.A.data, sys_.A.indices, sys_.A.indptr), shape=sys_.A.shape
+    )
+    assert np.linalg.norm(S @ res.x - sys_.b) / np.linalg.norm(sys_.b) < 1e-7
