@@ -55,21 +55,24 @@ def _matvec_f64(A32, x64: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("inner_maxiter",))
-def _refine_sweep(A32, M, b64, x64, *, inner_tol, inner_maxiter):
+def _refine_sweep(A32, M, b64, x64, r64, *, inner_tol, inner_maxiter):
     """One refinement sweep entirely on device (a single dispatch):
-    f64 residual -> scaled f32 inner CG -> f64 update -> new f64 residual.
-    Returns (x_new, ||b - A x_new||, inner iterations)."""
-    r = b64 - _matvec_f64(A32, x64)
-    rnorm = jnp.sqrt(jnp.vdot(r, r))
-    rnorm = jnp.where(rnorm == 0, jnp.asarray(1.0, r.dtype), rnorm)
-    r32 = (r / rnorm).astype(jnp.float32)
+    scaled f32 inner CG on the CURRENT f64 residual -> f64 update -> new
+    f64 residual.  ``r64 = b64 - A x64`` is threaded between sweeps (each
+    sweep ends by computing exactly the residual the next one starts
+    from), so a sweep costs ONE f64 matvec, and the first sweep of a zero
+    initial guess costs one too (``r0 = b64``).
+    Returns (x_new, r_new, ||r_new||, inner iterations)."""
+    rnorm = jnp.sqrt(jnp.vdot(r64, r64))
+    rnorm = jnp.where(rnorm == 0, jnp.asarray(1.0, r64.dtype), rnorm)
+    r32 = (r64 / rnorm).astype(jnp.float32)
     res = cg_solve(
         A32, r32, jnp.zeros_like(r32), precond=M,
         tol=inner_tol, maxiter=inner_maxiter,
     )
     x_new = x64 + res.x.astype(jnp.float64) * rnorm
     rn = b64 - _matvec_f64(A32, x_new)
-    return x_new, jnp.sqrt(jnp.vdot(rn, rn)), res.iterations
+    return x_new, rn, jnp.sqrt(jnp.vdot(rn, rn)), res.iterations
 
 
 def _adaptive_inner_tol(inner_tol: float, tol: float, relres: float) -> float:
@@ -122,17 +125,18 @@ def _refine_device(
     )
     if x0_is_zero:
         x64 = jnp.zeros(A32.n_pad, jnp.float64)
-        relres = 1.0  # r0 = b exactly
+        r64 = b64  # r0 = b exactly, no dispatch
+        relres = 1.0
     else:
         x64 = A32.put_vector(x, dtype=np.float64)
-        r0 = b64 - _matvec_f64(A32, x64)
-        relres = float(jnp.sqrt(jnp.vdot(r0, r0))) / bnorm
+        r64 = b64 - _matvec_f64(A32, x64)
+        relres = float(jnp.sqrt(jnp.vdot(r64, r64))) / bnorm
     t1 = _time.perf_counter()
     inner_total = 0
     refinements = 0
     while relres > tol and refinements < max_refinements:
-        x_new, rnorm_new, iters = _refine_sweep(
-            A32, M, b64, x64,
+        x_new, r_new, rnorm_new, iters = _refine_sweep(
+            A32, M, b64, x64, r64,
             inner_tol=_adaptive_inner_tol(inner_tol, tol, relres),
             inner_maxiter=inner_maxiter,
         )
@@ -141,7 +145,7 @@ def _refine_device(
         refinements += 1
         if new_relres >= relres:  # stagnation at the f32 floor
             break
-        x64, relres = x_new, new_relres
+        x64, r64, relres = x_new, r_new, new_relres
     t2 = _time.perf_counter()
     x_host = np.asarray(A32.get_vector(x64), dtype=np.float64)
     t3 = _time.perf_counter()
