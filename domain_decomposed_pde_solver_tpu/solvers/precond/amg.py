@@ -50,9 +50,31 @@ __all__ = [
 
 
 def _to_scipy(A: CSRMatrix):
+    """Zero-copy scipy view of a canonical CSRMatrix (READ-ONLY use).
+
+    The tuple constructor unifies index dtypes by copying data + indices —
+    ~160 MB at 1M DOF / ~1.5 GB at 10M, which this VM's 0.15-2 GB/s page-
+    fault rate turns into seconds (docs/PERF.md "Host allocator tuning").
+    Assembly already emits canonical sorted CSR, so validation is skipped
+    and the arrays are shared; only indptr is cast to the index dtype
+    (n_rows * 4 bytes).  Callers must not mutate the result in place."""
     import scipy.sparse as sp
 
-    return sp.csr_matrix((A.data, A.indices, A.indptr), shape=A.shape)
+    nnz = int(A.indptr[-1])
+    if A.indices.dtype == np.int32 and nnz <= np.iinfo(np.int32).max:
+        idx_t = np.int32
+        indices = A.indices
+    else:
+        idx_t = np.int64
+        indices = (
+            A.indices
+            if A.indices.dtype == np.int64
+            else A.indices.astype(np.int64)
+        )
+    indptr = A.indptr if A.indptr.dtype == idx_t else A.indptr.astype(idx_t)
+    S = sp.csr_matrix(A.shape, dtype=A.data.dtype)
+    S.data, S.indices, S.indptr = A.data, indices, indptr
+    return S
 
 
 def _from_scipy(S) -> CSRMatrix:
