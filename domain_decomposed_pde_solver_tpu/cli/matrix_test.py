@@ -26,7 +26,13 @@ def main(argv=None) -> int:
     ap.add_argument("--reportFrequency", type=int, default=50)
     ap.add_argument("--partitions", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 

@@ -36,7 +36,7 @@ class BiCGStabResult:
     converged: jax.Array
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "dot"))
+@partial(jax.jit, static_argnames=("maxiter", "dot"))
 def bicgstab_solve(
     A: Any,
     b: jax.Array,

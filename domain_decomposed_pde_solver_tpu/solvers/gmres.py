@@ -38,7 +38,7 @@ class GMRESResult:
     converged: jax.Array
 
 
-@partial(jax.jit, static_argnames=("restart", "tol", "maxiter", "dot"))
+@partial(jax.jit, static_argnames=("restart", "maxiter", "dot"))
 def gmres_solve(
     A: Any,
     b: jax.Array,

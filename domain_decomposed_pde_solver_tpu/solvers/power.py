@@ -34,7 +34,7 @@ class PowerResult:
     converged: jax.Array
 
 
-@partial(jax.jit, static_argnames=("maxiter", "tol", "check_every", "dot"))
+@partial(jax.jit, static_argnames=("maxiter", "check_every", "dot"))
 def power_method(
     A,
     z0: jax.Array,
