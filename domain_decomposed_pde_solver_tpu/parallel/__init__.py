@@ -30,6 +30,7 @@ from .slabpad import (
     build_slab_pad_stencil,
     slab_pad_cg_solve,
 )
+from .slabpadmixed import slab_pad_amg_refine_solve
 from .slabpadamg import (
     SlabPadAMG,
     build_slab_pad_amg,
@@ -80,6 +81,7 @@ __all__ = [
     "SlabPadAMG",
     "build_slab_pad_amg",
     "slab_pad_amg_cg_solve",
+    "slab_pad_amg_refine_solve",
     "HaloAMG",
     "build_halo_amg",
     "halo_amg_cg_solve",
