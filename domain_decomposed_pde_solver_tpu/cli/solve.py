@@ -390,6 +390,44 @@ def _solve_sharded(cfg, system, x0_host, dtype, snapshot_cb=None):
                     if snapshot_cb is not None:
                         snapshot_cb(int(result.iterations), x_host)
                     return result, x_host
+            elif (
+                np.dtype(dtype) == np.float64
+                and _jax.config.jax_enable_x64
+                and np.all(
+                    system.A.data.astype(np.float32).astype(np.float64)
+                    == system.A.data
+                )
+            ):
+                # f64 + structured + AMG: sharded mixed-precision
+                # refinement — the f32 slab-pad engine as the inner
+                # solver, device-resident f64 outer residual
+                # (parallel/slabpadmixed.py).  Reaches f64 accuracy at
+                # f32 speed; the f64 slab-DIA engine below stays the
+                # fallback for non-f32-exact operators.
+                from ..parallel.slabpadamg import build_slab_pad_amg
+                from ..parallel.slabpadmixed import (
+                    slab_pad_amg_refine_solve,
+                )
+                from ..solvers.cg import CGResult
+
+                spamg = build_slab_pad_amg(system.A, dims, cfg.partitions)
+                if spamg is not None:
+                    mr = slab_pad_amg_refine_solve(
+                        spamg,
+                        b=system.b.astype(np.float64),
+                        x0=x0_host.astype(np.float64),
+                        tol=cfg.tolerance,
+                        inner_maxiter=cfg.iterations,
+                    )
+                    result = CGResult(
+                        x=mr.x,
+                        iterations=mr.inner_iterations,
+                        relres=mr.relres,
+                        converged=mr.converged,
+                    )
+                    if snapshot_cb is not None:
+                        snapshot_cb(int(mr.inner_iterations), mr.x)
+                    return result, mr.x
             samg = build_slab_amg(
                 system.A, dims, cfg.partitions, dtype=np.dtype(dtype)
             )

@@ -66,6 +66,9 @@ class SlabPadAMG:
     tail: AMGPreconditioner  # replicated levels 1+ (tiny)
     n_c: int  # true coarse rows
     n_pad_c: int  # tail's padded vector length
+    # The global operator the hierarchy was built on — pattern-plane
+    # source for the sharded f64 refinement (.slabpadmixed).
+    pad_op: object = None
 
     @property
     def slab_c(self) -> int:
@@ -277,6 +280,7 @@ def build_slab_pad_amg(
         tail=tail,
         n_c=n_c,
         n_pad_c=n_pad_c,
+        pad_op=pad_op,
     )
 
 

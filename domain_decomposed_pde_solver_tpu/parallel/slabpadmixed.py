@@ -87,8 +87,9 @@ def _slab_matvec_f64(
 
 def slab_pad_amg_refine_solve(
     samg: SlabPadAMG,
-    pad_op: PadStencilOperator,
-    b: np.ndarray,
+    pad_op: Optional[PadStencilOperator] = None,
+    b: Optional[np.ndarray] = None,
+    x0: Optional[np.ndarray] = None,
     *,
     mesh: Optional[Mesh] = None,
     tol: float = 1e-10,
@@ -102,10 +103,12 @@ def slab_pad_amg_refine_solve(
     fetch per sweep).
 
     ``pad_op``: the global :class:`PadStencilOperator` the hierarchy was
-    built on — source of the pattern planes the f64 residual reuses.
-    Coefficients must be f32-exact (always true for the graph Laplacian's
-    integer entries).  ``x`` in the result is the gathered host f64
-    solution in logical (lexicographic) ordering.
+    built on — source of the pattern planes the f64 residual reuses
+    (defaults to ``samg.pad_op``).  Coefficients must be f32-exact
+    (always true for the graph Laplacian's integer entries).  ``x0``:
+    optional f64 warm start (costs one extra residual dispatch); the
+    default zero start knows ``r0 = b``.  ``x`` in the result is the
+    gathered host f64 solution in logical (lexicographic) ordering.
     """
     import time as _time
 
@@ -114,6 +117,12 @@ def slab_pad_amg_refine_solve(
             "slab_pad_amg_refine_solve needs jax_enable_x64 for the f64 "
             "outer residual"
         )
+    if pad_op is None:
+        pad_op = samg.pad_op
+    if pad_op is None:
+        raise ValueError("pad_op missing (hierarchy predates pad_op field)")
+    if b is None:
+        raise ValueError("b is required")
     plan = samg.plan
     dev_mesh = mesh if mesh is not None else make_device_mesh(plan.nparts)
     if interpret is None:
@@ -127,8 +136,6 @@ def slab_pad_amg_refine_solve(
     b64 = jax.device_put(
         plan.scatter_vector(np.asarray(b, np.float64), dtype=np.float64), sh
     )
-    x64 = jnp.zeros_like(b64)
-    r64 = b64  # x0 = 0 -> r0 = b exactly, no dispatch
     tval = jax.device_put(samg.tval.astype(np.float32), sh)
     scale = jax.device_put(samg.scale.astype(np.float32), sh)
     inv_d = jax.device_put(samg.inv_diag.astype(np.float32), sh)
@@ -188,8 +195,28 @@ def slab_pad_amg_refine_solve(
         )
     )
 
+    if x0 is None:
+        x64 = jnp.zeros_like(b64)
+        r64 = b64  # r0 = b exactly, no dispatch
+        relres = 1.0
+    else:
+        x64 = jax.device_put(
+            plan.scatter_vector(np.asarray(x0, np.float64), dtype=np.float64),
+            sh,
+        )
+
+        def resid(op_blk, b_blk, x_blk):
+            op = jax.tree.map(lambda a: a[0], op_blk)
+            r = b_blk[0] - _slab_matvec_f64(op, pats_c, cvals_c, x_blk[0])
+            return r[None], jnp.sqrt(_psum_dot(r, r))
+
+        r64, rn0 = jax.shard_map(
+            resid, mesh=dev_mesh, in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P()), check_vma=False,
+        )(ops, b64, x64)
+        relres = float(rn0) / bnorm
+
     t1 = _time.perf_counter()
-    relres = 1.0
     inner_total = 0
     refinements = 0
     while relres > tol and refinements < max_refinements:

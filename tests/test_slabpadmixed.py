@@ -122,3 +122,41 @@ def test_refine_requires_x64(box):
             slab_pad_amg_refine_solve(samg, A, sy.b)
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_refine_warm_start(box):
+    """A warm start (one extra residual dispatch) converges from the
+    given iterate instead of zero."""
+    sy, dims, S = box
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    samg = build_slab_pad_amg(sy.A, dims, 2)
+    r0 = slab_pad_amg_refine_solve(samg, b=sy.b, tol=1e-10)
+    r1 = slab_pad_amg_refine_solve(samg, b=sy.b, x0=r0.x, tol=1e-10)
+    assert r1.converged and r1.inner_iterations <= 2  # already converged
+    rr = np.linalg.norm(S @ r1.x - sy.b) / np.linalg.norm(sy.b)
+    assert rr < 1e-9
+
+
+def test_cli_f64_sharded_amg_routes_through_refinement(box, tmp_path):
+    """--partitions N --precond amg --dtype float64 on a structured mesh
+    reaches true f64 accuracy through the mixed-precision path (pinned by
+    the inner-iteration count: a plain f64 CG to 1e-10 needs far more)."""
+    from domain_decomposed_pde_solver_tpu.cli.solve import main as solve_main
+    from domain_decomposed_pde_solver_tpu.io import read_nodal_vars
+    from domain_decomposed_pde_solver_tpu.io.exodus import write_exodus
+
+    sy, dims, S = box
+    mesh_path = str(tmp_path / "box.exo")
+    write_exodus(mesh_path, sy.mesh)
+    out = str(tmp_path / "sol.exo")
+    rc = solve_main([
+        "--input", mesh_path, "--solution", out, "--partitions", "2",
+        "--precond", "amg", "--dtype", "float64", "--tolerance", "1e-10",
+        "--cpu", "--no-snapshots", "--iterations", "200",
+    ])
+    assert rc == 0
+    names, times, vals = read_nodal_vars(out)
+    x = vals[-1, 0][np.asarray(sy.free_to_node)]
+    rr = np.linalg.norm(S @ x - sy.b) / np.linalg.norm(sy.b)
+    assert rr < 1e-9
