@@ -127,3 +127,28 @@ def test_matrix_test_cli_sharded(data_dir, capsys):
     )
     assert rc == 0
     assert "lambda_max" in capsys.readouterr().out
+
+
+def test_solve_cli_f64_amg_refinement(data_dir, tmp_path):
+    """Single-device --dtype float64 --precond amg --no-snapshots routes
+    through mixed-precision refinement and reaches true f64 accuracy."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from domain_decomposed_pde_solver_tpu.io import read_exodus
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+
+    sol = str(tmp_path / "sol.exo")
+    rc = solve_main(
+        ["--input", str(data_dir / "brick.exo"), "--solution", sol,
+         "--tolerance", "1e-10", "--iterations", "500", "--precond", "amg",
+         "--dtype", "float64", "--no-snapshots"]
+    )
+    assert rc == 0
+    mesh = read_exodus(str(data_dir / "brick.exo"))
+    sy = assemble_heat_system(mesh)
+    S = sp.csr_matrix((sy.A.data, sy.A.indices, sy.A.indptr), shape=sy.A.shape)
+    names, times, vals = read_nodal_vars(sol)
+    x = vals[-1, 0][np.asarray(sy.free_to_node)]
+    rr = np.linalg.norm(S @ x - sy.b) / np.linalg.norm(sy.b)
+    assert rr < 1e-9
