@@ -222,6 +222,11 @@ def main():
     # sections build their arrays with explicit dtypes, so this only
     # affects the intended f64 paths.
     jax.config.update("jax_enable_x64", True)
+    # Persistent compile cache: repeat invocations skip the 3-40 s
+    # first-compile of every program (VERDICT r3 item 6).
+    from domain_decomposed_pde_solver_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from domain_decomposed_pde_solver_tpu.io import read_exodus
     from domain_decomposed_pde_solver_tpu.io.boxmesh import box_mesh
@@ -490,6 +495,11 @@ def main():
         extra["cg_amg_1e8_total_ms_box1m"] = (time.perf_counter() - t0) * 1e3
         if mr.timings is not None:
             extra["cg_amg_1e8_ms_box1m"] = mr.timings["sweeps_ms"]
+            # Decompose total - sweeps: staging (b upload skipped via
+            # b_device; x0 device-side) vs the solution download, which the
+            # tunnel inflates ~100x over a real host link.
+            extra["cg_amg_1e8_stage_ms_box1m"] = mr.timings["stage_ms"]
+            extra["cg_amg_1e8_fetch_ms_box1m"] = mr.timings["fetch_ms"]
         extra["cg_amg_1e8_relres_box1m"] = float(mr.relres)
         extra["cg_amg_1e8_sweeps_box1m"] = int(mr.refinements)
         extra["cg_amg_1e8_inner_iters_box1m"] = int(mr.inner_iterations)

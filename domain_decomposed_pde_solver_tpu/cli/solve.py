@@ -51,6 +51,9 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    from ..utils.compilecache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from ..io import ExodusSolutionWriter, read_exodus

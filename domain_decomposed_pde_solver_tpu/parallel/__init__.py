@@ -14,6 +14,7 @@ from .halo import HaloPlan, build_halo_plan
 from .decompose import decompose_mesh, write_decomposition
 from .ownership import node_ownership_from_element_partition
 from .schwarz import build_block_amg
+from .schwarzilu import build_block_ilu
 from .slab import (
     SlabDIAPlan,
     SlabStencilOperator,
@@ -67,6 +68,7 @@ __all__ = [
     "write_decomposition",
     "node_ownership_from_element_partition",
     "build_block_amg",
+    "build_block_ilu",
     "SlabDIAPlan",
     "SlabStencilOperator",
     "build_slab_stencil",

@@ -277,9 +277,13 @@ def sharded_cg_solve(
     - Jacobi via ``precond_diag`` (inverse diagonal, sharded);
     - distributed Chebyshev via ``cheb_lmax`` (each polynomial term is a
       halo-exchange SpMV, so it runs over ICI with no extra machinery);
-    - block-Schwarz AMG via ``block_amg`` (stacked per-part hierarchies
-      from :func:`.schwarz.build_block_amg`) — a communication-free local
-      V-cycle per device; adding ``coarse_inv`` + ``row_valid`` (from
+    - block-Schwarz via ``block_amg`` — any stacked per-part callable
+      preconditioner pytree with a leading part axis: AMG hierarchies from
+      :func:`.schwarz.build_block_amg`, or per-part ILU(0)/ILUT factors
+      from :func:`.schwarzilu.build_block_ilu` (the literal distributed
+      analogue of the reference's per-rank Ifpack2 ILUT,
+      ``BelosMueLuSolver.cpp:92-97``) — a communication-free local
+      apply per device; adding ``coarse_inv`` + ``row_valid`` (from
       :func:`.schwarz.build_coarse_correction`) upgrades it to two-level
       Schwarz (global partition-constant coarse correction)."""
     have_M = precond_diag is not None
@@ -429,16 +433,27 @@ def sharded_gmres_solve(
     x0: jax.Array,
     *,
     precond_diag: Optional[jax.Array] = None,
+    block_precond=None,
     restart: int = 30,
     tol: float = 1e-14,
     maxiter: int = 300,
 ) -> GMRESResult:
+    """GMRES(m) over the device mesh — the reference's actual solver
+    (Belos "GMRES", ``BelosMueLuSolver.cpp:105-106``) distributed.
+
+    ``block_precond``: a stacked per-part callable preconditioner pytree
+    (leading part axis), e.g. :func:`.schwarzilu.build_block_ilu` — which
+    makes this the literal mpirun configuration: GMRES + per-rank ILUT."""
     have_M = precond_diag is not None
+    have_blk = block_precond is not None
     make_block = type(op).make_block
 
     def body(leaves, b_blk, x_blk, *rest):
         blk = make_block(op, jax.tree_util.tree_map(lambda a: a[0], leaves))
-        M = DiagonalPreconditioner(rest[0][0]) if have_M else None
+        rest = list(rest)
+        M = DiagonalPreconditioner(rest.pop(0)[0]) if have_M else None
+        if have_blk:
+            M = jax.tree_util.tree_map(lambda leaf: leaf[0], rest.pop(0))
         res = gmres_solve(
             blk, b_blk[0], x_blk[0], precond=M, restart=restart, tol=tol,
             maxiter=maxiter, dot=_psum_dot,
@@ -446,6 +461,7 @@ def sharded_gmres_solve(
         return res.x[None], res.iterations, res.relres, res.converged
 
     vectors = (b, x0) + ((precond_diag,) if have_M else ())
+    vectors += (block_precond,) if have_blk else ()
     fn = jax.shard_map(
         body,
         mesh=op.mesh,

@@ -40,7 +40,8 @@ def _count_iters_scipy(A, b, M=None, tol=1e-10, maxiter=2000, restart=30):
 
 
 def compare_preconditioners(
-    A: CSRMatrix, b: np.ndarray, tol: float = 1e-10, maxiter: int = 2000
+    A: CSRMatrix, b: np.ndarray, tol: float = 1e-10, maxiter: int = 2000,
+    plan=None,
 ) -> Dict[str, dict]:
     """Iteration counts of GMRES(30) under each preconditioner (host, f64).
 
@@ -48,7 +49,13 @@ def compare_preconditioners(
     the only fair one here: ILU preconditioning is nonsymmetric, so CG
     would be invalid for that row.  Returns
     ``{name: {"iterations": k, "converged": bool}}`` for
-    none / jacobi / ilut (scipy SuperLU ILU ~ Ifpack2 ILUT) / amg.
+    none / jacobi / ilut (scipy SuperLU ILU ~ Ifpack2 ILUT) / amg, plus —
+    when a :class:`..parallel.halo.HaloPlan` is passed as ``plan`` — a
+    ``schwarz_ilut`` row: the distributed additive-Schwarz per-part ILUT
+    (:func:`..parallel.schwarzilu.build_block_ilu`), i.e. exactly what the
+    reference's per-rank Ifpack2 ILUT does under ``mpirun -n P``
+    (``BelosMueLuSolver.cpp:92-97``), applied through the same stacked
+    factors the sharded solvers use.
     """
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
@@ -88,4 +95,35 @@ def compare_preconditioners(
     Ma = spla.LinearOperator((n, n), matvec=amg_mv)
     k, ok = _count_iters_scipy(S, b, M=Ma, tol=tol, maxiter=maxiter)
     out["amg"] = {"iterations": k, "converged": ok}
+
+    if plan is not None:
+        import jax
+
+        from ..parallel.schwarzilu import build_block_ilu
+
+        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        Ms = build_block_ilu(A, plan, dtype=dt)
+        if Ms is None:
+            out["schwarz_ilut"] = {
+                "iterations": -1, "converged": False, "error": "zero pivot"
+            }
+        else:
+            per_part = [
+                jax.tree_util.tree_map(lambda leaf, p=p: leaf[p], Ms)
+                for p in range(plan.nparts)
+            ]
+
+            def schwarz_mv(v):
+                rp = plan.scatter_vector(np.ravel(v).astype(np.float64))
+                outp = np.stack([
+                    np.asarray(per_part[p](jnp.asarray(rp[p], dt)))
+                    for p in range(plan.nparts)
+                ])
+                return plan.gather_vector(outp.astype(np.float64))
+
+            Msl = spla.LinearOperator((n, n), matvec=schwarz_mv)
+            k, ok = _count_iters_scipy(S, b, M=Msl, tol=tol, maxiter=maxiter)
+            out["schwarz_ilut"] = {
+                "iterations": k, "converged": ok, "nparts": plan.nparts
+            }
     return out
