@@ -201,28 +201,34 @@ def bsg_from_csr(
     perm = _rcm_perm(csr) if reorder else None
 
     indptr = np.asarray(csr.indptr)
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-    cols = np.asarray(csr.indices, dtype=np.int64)
-    data = np.asarray(csr.data, dtype=np.float64)
-    if perm is not None:
-        rows = perm[rows]
-        cols = perm[cols]
     # Canonical (row, col) order in the *internal* numbering, so the slot
     # index k below groups the k-th smallest column of each row — columns of
-    # a slot then cluster into few window bins per tile.
-    o = np.lexsort((cols, rows))
-    rows, cols, data = rows[o], cols[o], data[o]
+    # a slot then cluster into few window bins per tile.  Native bucketed
+    # ordering (per-permuted-row column sorts) replaces the lexsort over two
+    # nnz-sized int64 keys; NumPy fallback below.
+    from ..utils.native import bsg_canonical_order_native
+
+    p_eff = perm if perm is not None else np.arange(n, dtype=np.int64)
+    order = bsg_canonical_order_native(indptr, csr.indices, p_eff, n)
+    if order is not None:
+        counts = np.zeros(n, dtype=np.int64)
+        counts[p_eff] = np.diff(indptr)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        cols = p_eff[np.asarray(csr.indices, dtype=np.int64)[order]]
+        data = np.asarray(csr.data, dtype=np.float64)[order]
+    else:
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        cols = np.asarray(csr.indices, dtype=np.int64)
+        data = np.asarray(csr.data, dtype=np.float64)
+        if perm is not None:
+            rows = perm[rows]
+            cols = perm[cols]
+        o = np.lexsort((cols, rows))
+        rows, cols, data = rows[o], cols[o], data[o]
 
     n_tiles = max(1, -(-n // TILE))
     n_pad = n_tiles * TILE
     nx2 = n_pad // LANES + win  # zero guard rows so windows never overrun
-
-    t = rows // TILE
-    a = (rows % TILE) // LANES
-    l = rows % LANES
-    g = cols // LANES
-    r = cols % LANES
-    b = g // win  # aligned win-row window bin
 
     # Micro-op assignment = bipartite edge coloring per (tile, window bin):
     # within one micro-op each output slot (a, l) and each source pair
@@ -243,6 +249,11 @@ def bsg_from_csr(
         # one remaining entry per row and per (a, r) — round count
         # approaches the max multiplicity (Konig: optimal = max degree for
         # bipartite graphs).
+        t = rows // TILE
+        a = (rows % TILE) // LANES
+        g = cols // LANES
+        r = cols % LANES
+        b = g // win  # aligned win-row window bin
         nb = nx2 // win + 1
         tb = t * nb + b
         rkey = tb * np.int64(n_pad) + rows  # one entry per row per round
@@ -276,20 +287,36 @@ def bsg_from_csr(
             max_mo = max(max_mo, uk.size)
         max_mo = max(1, max_mo)
 
-    w0 = np.zeros((n_tiles, max_mo), dtype=np.int32)
-    qq = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.int8)
-    rm = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.int8)
-    vals = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.float32)
+    # Single-pass native fill of the packed arrays (+ diag); NumPy fancy-
+    # scatter fallback.
+    from ..utils.native import bsg_fill_native
 
-    w0[t, mo_index] = (b * win).astype(np.int32)
-    vals[t, mo_index, a, l] = data.astype(np.float32)
-    rm[t, mo_index, a, l] = r.astype(np.int8)
-    qq[t, mo_index, a, r] = (g - b * win).astype(np.int8)
+    filled = bsg_fill_native(
+        rows, cols, data, mo_index, TILE, win, LANES, n_tiles, max_mo, n_pad
+    )
+    if filled is not None:
+        w0, qq, rm, vals, diag = filled
+    else:
+        t = rows // TILE
+        a = (rows % TILE) // LANES
+        l = rows % LANES
+        g = cols // LANES
+        r = cols % LANES
+        b = g // win
+        w0 = np.zeros((n_tiles, max_mo), dtype=np.int32)
+        qq = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.int8)
+        rm = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.int8)
+        vals = np.zeros((n_tiles, max_mo, SUBL, LANES), dtype=np.float32)
 
-    # Diagonal (permuted space) for Jacobi-type preconditioners.
-    diag = np.zeros(n_pad, dtype=np.float32)
-    dmask = rows == cols
-    diag[rows[dmask]] = data[dmask].astype(np.float32)
+        w0[t, mo_index] = (b * win).astype(np.int32)
+        vals[t, mo_index, a, l] = data.astype(np.float32)
+        rm[t, mo_index, a, l] = r.astype(np.int8)
+        qq[t, mo_index, a, r] = (g - b * win).astype(np.int8)
+
+        # Diagonal (permuted space) for Jacobi-type preconditioners.
+        diag = np.zeros(n_pad, dtype=np.float32)
+        dmask = rows == cols
+        diag[rows[dmask]] = data[dmask].astype(np.float32)
 
     if storage == "auto":
         # Bit-level exactness check on the CSR values (native one-pass; the

@@ -127,6 +127,16 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.bf16_exact.argtypes = [_f64p, _i64]
         lib.bsg_assign.restype = _i64
         lib.bsg_assign.argtypes = [_i64p, _i64p, _i64, _i64, _i64, _i64, _i64p]
+        _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.bsg_canonical_order.restype = None
+        lib.bsg_canonical_order.argtypes = [_i64p, _i64p, _i64p, _i64, _i64p]
+        lib.bsg_canonical_order_i32.restype = None
+        lib.bsg_canonical_order_i32.argtypes = [_i64p, _i32p, _i64p, _i64, _i64p]
+        lib.bsg_fill.restype = None
+        lib.bsg_fill.argtypes = [
+            _i64p, _i64p, _f64p, _i64p, _i64, _i64, _i64, _i64, _i64,
+            _i32p, _i8p, _i8p, _f32p, _f32p,
+        ]
         lib.ilut.restype = _i64
         lib.ilut.argtypes = [
             _i64p, _i64p, _f64p, _i64, ctypes.c_double, ctypes.c_double,
@@ -543,6 +553,52 @@ def bsg_assign_native(rows, cols, tile, subl, lanes):
     if max_mo < 0:
         return None  # pathological group needed > 256 rounds
     return mo_index, int(max_mo)
+
+
+def bsg_canonical_order_native(indptr, indices, perm, n):
+    """Entry order such that (perm[row], perm[col]) is lexsorted, or None.
+
+    Replaces ``np.lexsort`` over two nnz-sized int64 keys in the BSG packer
+    (bucket by permuted row + per-row column sorts)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    perm = np.ascontiguousarray(perm, np.int64)
+    order = np.empty(int(indptr[-1]), dtype=np.int64)
+    if np.asarray(indices).dtype == np.int32:
+        lib.bsg_canonical_order_i32(
+            indptr, np.ascontiguousarray(indices, np.int32), perm, n, order
+        )
+    else:
+        lib.bsg_canonical_order(
+            indptr, np.ascontiguousarray(indices, np.int64), perm, n, order
+        )
+    return order
+
+
+def bsg_fill_native(rows, cols, data, mo_index, tile, win_rows, lanes,
+                    n_tiles, max_mo, n_pad):
+    """Single-pass fill of the BSG arrays; returns (w0, qq, rm, vals, diag)
+    or None when the native library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    subl = tile // lanes
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    data = np.ascontiguousarray(data, np.float64)
+    mo_index = np.ascontiguousarray(mo_index, np.int64)
+    w0 = np.zeros((n_tiles, max_mo), dtype=np.int32)
+    qq = np.zeros((n_tiles, max_mo, subl, lanes), dtype=np.int8)
+    rm = np.zeros((n_tiles, max_mo, subl, lanes), dtype=np.int8)
+    vals = np.zeros((n_tiles, max_mo, subl, lanes), dtype=np.float32)
+    diag = np.zeros(n_pad, dtype=np.float32)
+    lib.bsg_fill(
+        rows, cols, data, mo_index, rows.size, tile, win_rows, lanes,
+        max_mo, w0, qq, rm, vals, diag,
+    )
+    return w0, qq, rm, vals, diag
 
 
 def pack_dia_native(indptr, indices, data, n, n_pad, max_diags):

@@ -60,7 +60,12 @@ def naive_assemble(mesh):
     return A, b, np.array(free)
 
 
-MESHES = ["rectangle-tris-boundary.exo", "2blocks.exo", "brick.exo", "lbracket.exo"]
+MESHES = [
+    "rectangle-tris-boundary.exo",
+    "2blocks.exo",
+    "brick.exo",
+    pytest.param("lbracket.exo", marks=pytest.mark.slow),
+]
 
 
 @pytest.mark.parametrize("name", MESHES)

@@ -176,3 +176,55 @@ def test_bsg_rejects_rectangular():
     )
     with pytest.raises(ValueError):
         bsg_from_csr(csr)
+
+
+def test_native_canonical_order_matches_lexsort(data_dir):
+    """The native bucketed ordering must reproduce np.lexsort exactly on a
+    permuted mesh matrix (ops/bsg.py packing fast path)."""
+    from domain_decomposed_pde_solver_tpu.io import read_exodus
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+    from domain_decomposed_pde_solver_tpu.ops.bsg import _rcm_perm
+    from domain_decomposed_pde_solver_tpu.utils.native import (
+        bsg_canonical_order_native,
+    )
+
+    mesh = read_exodus(str(data_dir / "brick.exo"))
+    sy = assemble_heat_system(mesh)
+    A = sy.A
+    n = A.n_rows
+    perm = _rcm_perm(A)
+    order = bsg_canonical_order_native(np.asarray(A.indptr), A.indices, perm, n)
+    if order is None:
+        pytest.skip("native library unavailable")
+    rows = np.repeat(np.arange(n, dtype=np.int64), A.row_lengths())
+    cols = np.asarray(A.indices, dtype=np.int64)
+    rp, cp = perm[rows], perm[cols]
+    o = np.lexsort((cp, rp))
+    np.testing.assert_array_equal(rp[o], rp[order])
+    np.testing.assert_array_equal(cp[o], cp[order])
+
+
+def test_native_fill_matches_numpy_fill(data_dir):
+    """bsg_fill (native single-pass) == the NumPy fancy-scatter fill, given
+    the same micro-op assignment."""
+    from domain_decomposed_pde_solver_tpu.io import read_exodus
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+    import domain_decomposed_pde_solver_tpu.ops.bsg as bsgmod
+    import domain_decomposed_pde_solver_tpu.utils.native as nat
+
+    if nat.load_native() is None:
+        pytest.skip("native library unavailable")
+    mesh = read_exodus(str(data_dir / "brick.exo"))
+    sy = assemble_heat_system(mesh)
+    B1 = bsgmod.bsg_from_csr(sy.A)
+    real_fill = nat.bsg_fill_native
+    nat.bsg_fill_native = lambda *a, **k: None
+    try:
+        B0 = bsgmod.bsg_from_csr(sy.A)
+    finally:
+        nat.bsg_fill_native = real_fill
+    for f in ("w0", "qq", "rm", "vals", "diag"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(B1, f)), np.asarray(getattr(B0, f))
+        )
+    assert B1.max_mo == B0.max_mo

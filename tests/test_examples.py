@@ -13,8 +13,9 @@ REPO = str(EXAMPLES.parent)
 @pytest.mark.parametrize(
     "script",
     ["01_basic_solve.py", "02_multi_device.py", "03_amg_and_mixed_precision.py",
-     "04_transient.py", "05_fem_flux_bcs.py", "06_distributed_amg.py",
-     "07_sharded_f64_refinement.py"],
+     "04_transient.py", "05_fem_flux_bcs.py",
+     pytest.param("06_distributed_amg.py", marks=pytest.mark.slow),
+     pytest.param("07_sharded_f64_refinement.py", marks=pytest.mark.slow)],
 )
 def test_example_runs(script):
     import os

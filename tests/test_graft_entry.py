@@ -12,10 +12,12 @@ import pathlib
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_solves():
     import jax
 

@@ -25,6 +25,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_solve(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     port = _free_port()
@@ -56,6 +57,7 @@ def test_two_process_solve(tmp_path):
     assert (tmp_path / "ok.0").read_text() == (tmp_path / "ok.1").read_text()
 
 
+@pytest.mark.slow
 def test_two_process_distributed_assembly(tmp_path):
     """True distributed assembly at >=1M DOF: 2 processes, each reading
     only its element slice, all_to_all edge exchange, per-rank row

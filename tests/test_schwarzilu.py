@@ -98,6 +98,7 @@ def test_sharded_gmres_block_ilut(data_dir, nparts):
     assert int(r_i.iterations) <= int(r_j.iterations)
 
 
+@pytest.mark.slow
 def test_block_ilut_within_2x_of_single_device(data_dir):
     """VERDICT r3 criterion: distributed block-ILUT iteration counts within
     ~2x of single-device ILUT on tet-cube at P=4 (the additive-Schwarz

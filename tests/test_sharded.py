@@ -277,6 +277,7 @@ def test_bsg_sharded_matches_ell_sharded():
     assert relres < 1e-5
 
 
+@pytest.mark.slow
 def test_bsg_sharded_chunked_state_threading():
     """The snapshot (chunked) CG path works over the BSG sharded operator
     and matches a continuous solve."""

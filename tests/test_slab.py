@@ -22,7 +22,9 @@ def system():
     return assemble_heat_system(box_mesh(16, 16, 16, elem_type="TETRA4"))
 
 
-@pytest.mark.parametrize("nparts", [2, 4, 8])
+@pytest.mark.parametrize(
+    "nparts", [2, 4, pytest.param(8, marks=pytest.mark.slow)]
+)
 def test_slab_spmv_matches_host(system, nparts):
     plan = build_slab_plan(system.A, nparts, dtype=np.float64)
     assert plan is not None

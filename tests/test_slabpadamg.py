@@ -47,6 +47,7 @@ def _single_device_iters(sy, dims):
     return int(res.iterations)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nparts", [2, 4])
 def test_iterations_match_single_device(box, nparts):
     if len(jax.devices()) < nparts:
@@ -73,6 +74,7 @@ def test_iterations_match_single_device(box, nparts):
     assert relres < 1e-5
 
 
+@pytest.mark.slow
 def test_vcycle_matches_single_device_hierarchy(box):
     """One sharded V-cycle == one single-device V-cycle on the same
     hierarchy (same algebra, slab-laid): apply both to the same residual
@@ -147,6 +149,7 @@ def test_vcycle_matches_single_device_hierarchy(box):
     )
 
 
+@pytest.mark.slow
 def test_bz6_brick6_rebuild(box):
     """gcd(bz, brick) = 6 makes the slab congruences unsolvable (L ≡ -2
     mod 6 and L ≡ 0 mod 6); the builder must rebuild the operator with a

@@ -53,6 +53,7 @@ def _pad_op(sy, dims):
     return pad_stencil_from_parts(parts)
 
 
+@pytest.mark.slow
 def test_slab_matvec_f64_matches_scipy(box):
     """The sharded f64 slab matvec IS the assembled operator."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -95,6 +96,7 @@ def test_slab_matvec_f64_matches_scipy(box):
     assert np.linalg.norm(y - yref) / np.linalg.norm(yref) < 1e-14
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nparts", [2, 4])
 def test_refine_reaches_f64_accuracy(box, nparts):
     sy, dims, S = box
@@ -124,6 +126,7 @@ def test_refine_requires_x64(box):
         jax.config.update("jax_enable_x64", True)
 
 
+@pytest.mark.slow
 def test_refine_warm_start(box):
     """A warm start (one extra residual dispatch) converges from the
     given iterate instead of zero."""
@@ -138,6 +141,7 @@ def test_refine_warm_start(box):
     assert rr < 1e-9
 
 
+@pytest.mark.slow
 def test_cli_f64_sharded_amg_routes_through_refinement(box, tmp_path):
     """--partitions N --precond amg --dtype float64 on a structured mesh
     reaches true f64 accuracy through the mixed-precision path (pinned by
