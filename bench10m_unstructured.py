@@ -1,0 +1,199 @@
+"""BASELINE config 5 as written: ``lbracket.exo`` uniformly refined —
+UNSTRUCTURED at multi-M DOF, BSG + SA-AMG + f64 refinement.
+
+The structured 10M benchmark (``bench10m.py``) rides the pad-stencil Pallas
+kernel; this one exercises the framework's unstructured path end to end, at
+the reference's own mesh (``/root/reference/ExodusIO.hpp:733-1489`` — the
+element path exists precisely for big unstructured meshes):
+
+- uniform refinement of ``lbracket.exo`` (``io/refine.py``) — 8x tets per
+  level: level 2 ~410k free DOF, level 3 ~3.2M, level 4 ~25M;
+- host assembly (native single-scan);
+- BSG shuffle-gather pack (native canonical-order + fill kernels) — the
+  host-pack cost VERDICT r3 asked to measure at scale;
+- SpMV roofline (raw bytes vs the probed stream ceiling, two-point fit);
+- greedy (unstructured) SA-AMG setup with per-phase timings;
+- CG+AMG to 1e-6 and the BASELINE 1e-8 metric via f64 iterative refinement
+  (host-residual path: BSG has no dtype-generic device f64 matvec).
+
+Prints ONE JSON line and writes ``BENCH10M_UNSTR.json``.
+Run: ``python bench10m_unstructured.py [levels]`` (default 3).
+
+NOTE on "~10M": refinement grows 8x per level, so the closest sizes to the
+BASELINE's "~10M DOF" are 3.2M (level 3) and 25M (level 4).  Level 4's BSG
+operator alone is ~25M rows x ~117 micro-ops/tile ~ 9+ GB — past this
+chip's practical HBM budget (16 GB minus vectors/AMG); level 3 is the
+default and the artifact records the measured per-level scaling so the
+level-4 extrapolation is evidence, not guesswork.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import bench
+
+
+def main():
+    import jax
+
+    bench._init_backend_with_retry()
+    jax.config.update("jax_enable_x64", True)
+    from domain_decomposed_pde_solver_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax.numpy as jnp
+
+    from domain_decomposed_pde_solver_tpu.io import read_exodus
+    from domain_decomposed_pde_solver_tpu.io.refine import refine_uniform
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+    from domain_decomposed_pde_solver_tpu.ops import operator_bytes
+    from domain_decomposed_pde_solver_tpu.ops.bsg import bsg_from_csr
+    from domain_decomposed_pde_solver_tpu.solvers import (
+        cg_solve,
+        smoothed_aggregation_setup,
+    )
+    from domain_decomposed_pde_solver_tpu.solvers.mixed import (
+        iterative_refinement_solve,
+    )
+    from domain_decomposed_pde_solver_tpu.solvers.precond.jacobi import (
+        DiagonalPreconditioner,
+    )
+
+    levels = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    dev = jax.devices()[0]
+    if dev.platform != "tpu" and "--allow-cpu" not in sys.argv:
+        print(json.dumps({
+            "metric": "unstr_cg_amg_1e8_ms", "value": None, "unit": "ms",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"no TPU after retries (got {dev.platform}); "
+                      "pass --allow-cpu to force"},
+        }))
+        return
+    extra = {
+        "device": str(dev),
+        "device_kind": getattr(dev, "device_kind", "?"),
+        "mesh": "lbracket.exo", "refine_levels": levels,
+    }
+
+    t0 = time.perf_counter()
+    mesh = read_exodus("/root/reference/data/lbracket.exo")
+    mesh = refine_uniform(mesh, levels)
+    extra["refine_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sy = assemble_heat_system(mesh)
+    extra["assembly_s"] = time.perf_counter() - t0
+    extra["dof"] = int(sy.n_free)
+    extra["nnz"] = int(sy.A.nnz)
+    print(f"# refined x{levels}: n={sy.n_free} nnz={sy.A.nnz} "
+          f"(refine {extra['refine_s']:.1f}s, assemble "
+          f"{extra['assembly_s']:.1f}s)", flush=True)
+
+    # --- BSG pack (the VERDICT r3 scale question) ------------------------
+    t0 = time.perf_counter()
+    A = bsg_from_csr(sy.A)
+    extra["bsg_pack_s"] = time.perf_counter() - t0
+    extra["bsg_max_mo"] = int(A.max_mo)
+    extra["bsg_tiles"] = int(A.n_tiles)
+    extra["bsg_operator_mb"] = operator_bytes(A) / 1e6
+    print(f"# BSG pack {extra['bsg_pack_s']:.1f}s max_mo={A.max_mo} "
+          f"({extra['bsg_operator_mb']:.0f} MB)", flush=True)
+
+    # --- SpMV roofline ----------------------------------------------------
+    stream = 0.0
+    for _ in range(6):
+        stream = bench.measured_stream_gbps()
+        if stream >= 400.0:
+            break
+        time.sleep(45)
+    extra["measured_stream_gbps"] = stream
+    x = jax.random.normal(jax.random.PRNGKey(0), (A.n_pad,), jnp.float32)
+    dt = bench.time_spmv_loop(A, x, k_lo=16, k_hi=64)
+    raw_bytes = operator_bytes(A)
+    extra["spmv_us"] = dt * 1e6
+    extra["spmv_gbps_raw"] = raw_bytes / dt / 1e9
+    extra["spmv_frac_of_stream_raw"] = extra["spmv_gbps_raw"] / max(stream, 1e-9)
+    eq_bytes = 4 * (sy.A.nnz * 2 + 2 * A.n_pad)  # csr vals+cols + x + y
+    extra["spmv_gbps_f32equiv"] = eq_bytes / dt / 1e9
+    print(f"# SpMV {dt*1e6:.0f} us raw {extra['spmv_gbps_raw']:.0f} GB/s "
+          f"({extra['spmv_frac_of_stream_raw']:.2f} of stream)", flush=True)
+
+    # --- greedy SA-AMG setup (unstructured; fine level in BSG space) ------
+    tm = {}
+    t0 = time.perf_counter()
+    M = smoothed_aggregation_setup(
+        sy.A, dtype=jnp.float32, fine_operator=A, timings_out=tm
+    )
+    extra["amg_setup_s"] = time.perf_counter() - t0
+    extra["amg_setup_phases"] = {k: round(v, 2) for k, v in tm.items()}
+    print(f"# AMG setup {extra['amg_setup_s']:.1f}s {extra['amg_setup_phases']}",
+          flush=True)
+
+    # --- CG+AMG tol 1e-6 (f32) --------------------------------------------
+    bscale = float(np.abs(sy.b).max())
+    b = A.put_vector((sy.b / bscale).astype(np.float32))
+    solve = lambda: cg_solve(
+        A, b, jnp.zeros_like(b), precond=M, tol=1e-6, maxiter=200
+    )
+    r = solve()
+    bench._sync(r.x)
+    t0 = time.perf_counter()
+    r = solve()
+    bench._sync(r.x)
+    extra["cg_amg_ms"] = (time.perf_counter() - t0) * 1e3
+    extra["cg_amg_iters"] = int(r.iterations)
+    extra["cg_amg_relres"] = float(r.relres)
+    print(f"# CG+AMG(1e-6) {extra['cg_amg_ms']:.0f} ms "
+          f"{extra['cg_amg_iters']} iters", flush=True)
+
+    # --- CG+Jacobi for scale ----------------------------------------------
+    Mj = DiagonalPreconditioner(1.0 / A.diagonal_padded(fill=1.0))
+    jac = lambda: cg_solve(
+        A, b, jnp.zeros_like(b), precond=Mj, tol=1e-6, maxiter=5000
+    )
+    r2 = jac()
+    bench._sync(r2.x)
+    t0 = time.perf_counter()
+    r2 = jac()
+    bench._sync(r2.x)
+    extra["cg_jacobi_ms"] = (time.perf_counter() - t0) * 1e3
+    extra["cg_jacobi_iters"] = int(r2.iterations)
+    print(f"# CG+Jacobi {extra['cg_jacobi_ms']:.0f} ms "
+          f"{extra['cg_jacobi_iters']} iters", flush=True)
+
+    # --- 1e-8 via f64 iterative refinement (the BASELINE metric) ----------
+    mkw = dict(
+        tol=1e-8, inner_tol=1e-6, inner_maxiter=200, precond=M, operator=A,
+    )
+    mr = iterative_refinement_solve(sy.A, sy.b, **mkw)  # warm
+    t0 = time.perf_counter()
+    mr = iterative_refinement_solve(sy.A, sy.b, **mkw)
+    extra["cg_amg_1e8_total_ms"] = (time.perf_counter() - t0) * 1e3
+    extra["cg_amg_1e8_relres"] = float(mr.relres)
+    extra["cg_amg_1e8_sweeps"] = int(mr.refinements)
+    extra["cg_amg_1e8_inner_iters"] = int(mr.inner_iterations)
+    extra["cg_amg_1e8_converged"] = bool(mr.converged)
+    print(f"# CG+AMG(1e-8) total {extra['cg_amg_1e8_total_ms']:.0f} ms "
+          f"sweeps {mr.refinements} relres {mr.relres:.1e}", flush=True)
+
+    out = {
+        "metric": "unstr_cg_amg_1e8_ms",
+        "value": round(extra["cg_amg_1e8_total_ms"], 2),
+        "unit": "ms",
+        # Honest gate: the 1e-8 answer must actually converge.
+        "vs_baseline": 1.0 if mr.converged else 0.0,
+        "extra": extra,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open("BENCH10M_UNSTR.json", "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
