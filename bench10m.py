@@ -70,24 +70,51 @@ def main():
         return
     extra = {"device": str(dev), "device_kind": getattr(dev, "device_kind", "?")}
 
-    t0 = time.perf_counter()
-    mesh = box_mesh(N, N, N, elem_type="TETRA4")
-    extra["mesh_gen_s"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sy = assemble_heat_system(mesh)
-    extra["assembly_s"] = time.perf_counter() - t0
+    if "--element-path" in sys.argv:
+        # Legacy full element pipeline (mesh object + element-scan
+        # assembly + DIA-pack stencil detection).
+        t0 = time.perf_counter()
+        mesh = box_mesh(N, N, N, elem_type="TETRA4")
+        extra["mesh_gen_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sy = assemble_heat_system(mesh)
+        extra["assembly_s"] = time.perf_counter() - t0
+        extra["assembly_mode"] = "element-scan"
+        dims = infer_free_grid(mesh, sy.free_to_node)
+        t0 = time.perf_counter()
+        A = choose_operator(
+            sy.A, dtype=jnp.float32, grid_dims=dims, pad_stencil="auto"
+        )
+        extra["operator_build_s"] = time.perf_counter() - t0
+    else:
+        # Scan-free lattice assembly (models/structured.py): the CSR for
+        # AMG setup comes from one native row-writer pass (no mesh, no
+        # element scan — bit-identical, tests/test_structured.py), and the
+        # solver operator is built straight from the closed-form stencil
+        # parts (no DIA pack, ~2 MB sparse corr upload).
+        from domain_decomposed_pde_solver_tpu.models.structured import (
+            structured_box_parts,
+            structured_box_system,
+        )
+        from domain_decomposed_pde_solver_tpu.ops.pallas.stencil_kernel import (
+            pad_stencil_from_parts,
+        )
+
+        t0 = time.perf_counter()
+        sy = structured_box_system(N, N, N, elem_type="TETRA4")
+        extra["assembly_s"] = time.perf_counter() - t0
+        extra["assembly_mode"] = "structured-native"
+        dims = (N - 1, N + 1, N + 1)
+        t0 = time.perf_counter()
+        po = structured_box_parts(N, N, N, elem_type="TETRA4")
+        A = pad_stencil_from_parts(po["parts"])
+        extra["operator_build_s"] = time.perf_counter() - t0
+    extra["format"] = type(A).__name__
     extra["dof"] = int(sy.n_free)
     extra["nnz"] = int(sy.A.nnz)
     print(f"# assembled n={sy.n_free} nnz={sy.A.nnz} "
-          f"({extra['assembly_s']:.1f}s)", flush=True)
-
-    dims = infer_free_grid(mesh, sy.free_to_node)
-    t0 = time.perf_counter()
-    A = choose_operator(
-        sy.A, dtype=jnp.float32, grid_dims=dims, pad_stencil="auto"
-    )
-    extra["operator_build_s"] = time.perf_counter() - t0
-    extra["format"] = type(A).__name__
+          f"({extra['assembly_s']:.1f}s {extra['assembly_mode']}, operator "
+          f"{extra['operator_build_s']:.1f}s)", flush=True)
 
     # --- SpMV roofline (same three accountings as bench.py) -------------
     stream = 0.0

@@ -128,6 +128,12 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.bsg_assign.restype = _i64
         lib.bsg_assign.argtypes = [_i64p, _i64p, _i64, _i64, _i64, _i64, _i64p]
         _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.assemble_structured.restype = None
+        lib.assemble_structured.argtypes = [
+            _i64, _i64, _i64, _i64, _i64p, _i64, _i64, _f64p, _i64p, _i64p,
+            ctypes.c_double, ctypes.c_double, _i64p, _i32p, _f64p, _f64p,
+            _f64p,
+        ]
         lib.bsg_canonical_order.restype = None
         lib.bsg_canonical_order.argtypes = [_i64p, _i64p, _i64p, _i64, _i64p]
         lib.bsg_canonical_order_i32.restype = None

@@ -1237,6 +1237,98 @@ int64_t assemble_from_conn_i32(const int32_t* conn, int64_t num_elem,
 }
 
 // ---------------------------------------------------------------------------
+// Structured (box-mesh) reduced-system assembly (models/structured.py):
+// writes the canonical CSR + RHS + degree of the reduced heat Laplacian of
+// ``box_mesh(nx, ny, nz)`` directly from the lattice tables — no mesh, no
+// element scan, no dedup (replaces the O(elems x 16) single-scan kernel for
+// generated boxes; reference semantics per ExodusIO.hpp:591-687).
+//
+// Free grid (mx, my, mz), row id ix + mx*(iy + my*iz); free node (ix,iy,iz)
+// is mesh node (ix+1, iy, iz) of the (mx+2, my, mz) node grid.  Class
+// c = ((iz%p)*p + iy%p)*p + ix%p (free-grid parity, p = stencil period).
+// - taps: nd reduced-grid offsets (dx,dy,dz), ascending by (dz,dy,dx), so
+//   emitted columns are sorted (canonical CSR).
+// - pats[d*C + c]: the verified off-diagonal pattern value of tap d for
+//   class c; the diagonal value is the node DEGREE (free + boundary
+//   neighbors, ExodusIO.hpp:123-125), counted from the node-adjacency
+//   offsets `opar` (x neighbors always exist inside the node grid; only
+//   y/z faces truncate).
+// - b[r] = bc_lo * #boundary-neighbors on the x=0 face (rows with ix==0)
+//   + bc_hi * ... (ix==mx-1), i.e. sum of nodeset ids over adjacent
+//   boundary nodes (ExodusIO.hpp:671-687).
+// indptr/indices/data/b/degree must be preallocated (nnz is closed-form:
+// sum_d prod_axis (m - |d|)).
+// ---------------------------------------------------------------------------
+void assemble_structured(int64_t mx, int64_t my, int64_t mz, int64_t p,
+                         const int64_t* taps, int64_t nd, int64_t diag_idx,
+                         const double* pats, const int64_t* opar_ptr,
+                         const int64_t* opar, double bc_lo, double bc_hi,
+                         int64_t* indptr, int32_t* indices, double* data,
+                         double* b, double* degree) {
+  const int64_t C = p * p * p;
+  std::vector<int64_t> col_off(nd);
+  for (int64_t d = 0; d < nd; ++d)
+    col_off[d] = taps[d * 3] + taps[d * 3 + 1] * mx + taps[d * 3 + 2] * mx * my;
+  std::vector<double> deg_c(p), blo_c(p), bhi_c(p);
+  std::vector<char> okyz(nd);
+  int64_t nnz = 0;
+  indptr[0] = 0;
+  for (int64_t iz = 0; iz < mz; ++iz) {
+    for (int64_t iy = 0; iy < my; ++iy) {
+      // Per-(iz, iy): y/z tap validity and per-x-class degree/b counts.
+      for (int64_t d = 0; d < nd; ++d) {
+        const int64_t dy = taps[d * 3 + 1], dz = taps[d * 3 + 2];
+        okyz[d] = (iy + dy >= 0) && (iy + dy < my) && (iz + dz >= 0) &&
+                  (iz + dz < mz);
+      }
+      const int64_t cyz = ((iz % p) * p + iy % p) * p;
+      for (int64_t xc = 0; xc < p; ++xc) {
+        const int64_t c = cyz + xc;
+        int64_t deg = 0, lo = 0, hi = 0;
+        for (int64_t k = opar_ptr[c]; k < opar_ptr[c + 1]; ++k) {
+          const int64_t dx = opar[k * 3], dy = opar[k * 3 + 1],
+                        dz = opar[k * 3 + 2];
+          const bool ok = (iy + dy >= 0) && (iy + dy < my) &&
+                          (iz + dz >= 0) && (iz + dz < mz);
+          if (!ok) continue;
+          ++deg;
+          if (dx == -1) ++lo;
+          if (dx == 1) ++hi;
+        }
+        deg_c[xc] = static_cast<double>(deg);
+        blo_c[xc] = static_cast<double>(lo);
+        bhi_c[xc] = static_cast<double>(hi);
+      }
+      const int64_t row0 = mx * (iy + my * iz);
+      for (int64_t ix = 0; ix < mx; ++ix) {
+        const int64_t u = row0 + ix;
+        const int64_t xc = ix % p;
+        const double deg = deg_c[xc];
+        for (int64_t d = 0; d < nd; ++d) {
+          const int64_t dx = taps[d * 3];
+          if (!okyz[d] || ix + dx < 0 || ix + dx >= mx) continue;
+          // A zero pattern value means this class has no adjacency on
+          // this tap (off-diagonals of the graph Laplacian are always
+          // -1): the element-scan CSR has no entry there, so neither do
+          // we (bit-identical sparsity).
+          const double v = pats[d * C + cyz + xc];
+          if (d != diag_idx && v == 0.0) continue;
+          indices[nnz] = static_cast<int32_t>(u + col_off[d]);
+          data[nnz] = (d == diag_idx) ? deg : v;
+          ++nnz;
+        }
+        indptr[u + 1] = nnz;
+        degree[u] = deg;
+        double bv = 0.0;
+        if (ix == 0) bv += bc_lo * blo_c[xc];
+        if (ix == mx - 1) bv += bc_hi * bhi_c[xc];
+        b[u] = bv;
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // BSG canonical entry order (ops/bsg.py::bsg_from_csr): given a CSR and a
 // symmetric permutation perm (original id -> internal id), compute `order`
 // (nnz entry indices into the CSR's flat arrays) such that the sequence
