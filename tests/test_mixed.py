@@ -96,6 +96,30 @@ def test_refinement_over_bsg_operator():
     )
 
 
+def test_f32_exact_gate_memoized():
+    """The device_residual='auto' exactness scan is O(nnz) (1 GB of CSR
+    data at 10M DOF) and sits on the per-call path — it must run once per
+    matrix object and be correct both ways."""
+    from domain_decomposed_pde_solver_tpu.solvers.mixed import _f32_exact
+
+    sys_ = assemble_heat_system(box_mesh(8, 8, 8, elem_type="TETRA4"))
+    A = sys_.A
+    assert not hasattr(A, "_f32_exact_cache")
+    assert _f32_exact(A) is True  # graph Laplacian: small integers
+    assert A._f32_exact_cache is True
+    # Memo hit: mutating the data no longer changes the answer (the cache
+    # is per-object; callers that edit data in place build a new matrix).
+    A.data[0] = np.float64(1) + np.float64(2) ** -40
+    assert _f32_exact(A) is True
+    # A fresh object with non-representable data reports False.
+    from domain_decomposed_pde_solver_tpu.ops.csr import CSRMatrix
+
+    B = CSRMatrix(
+        indptr=A.indptr, indices=A.indices, data=A.data.copy(), shape=A.shape
+    )
+    assert _f32_exact(B) is False
+
+
 def test_adaptive_inner_tol_schedule():
     """The final sweep's inner tolerance widens to the remaining gap (a
     full-depth inner solve would overshoot the target by orders of
