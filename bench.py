@@ -354,6 +354,61 @@ def main():
     extra["spmv_frac_of_stream_box1m"] = gbps1m_eq / max(stream_box, 1e-9)
     extra["box1m_dof"] = sys1m.n_free
 
+    # --- ~10M DOF box SpMV: the HBM-honest scale (VERDICT r3 item 1) -----
+    # At 1M DOF the x+y+corr working set (~12 MB) is VMEM-resident across
+    # the chained timing loop, so the 1M figure measures on-chip reuse,
+    # not HBM bandwidth.  At 10M (~123 MB) every stream genuinely hits
+    # HBM; this section is the headline.  Built via the scan-free lattice
+    # path (models/structured.py) — no mesh, no element scan, ~seconds.
+    gbps10m = 0.0
+    frac_box10m = 0.0
+    try:
+        from domain_decomposed_pde_solver_tpu.models.structured import (
+            structured_box_parts,
+        )
+        from domain_decomposed_pde_solver_tpu.ops.pallas.stencil_kernel import (
+            pad_stencil_from_parts,
+        )
+
+        N10 = 217  # (N-2)^3 ~= 9.9M free DOF, same as bench10m.py
+        t0 = time.perf_counter()
+        po10 = structured_box_parts(N10, N10, N10, elem_type="TETRA4")
+        A10 = pad_stencil_from_parts(po10["parts"])
+        extra["box10m_build_s"] = time.perf_counter() - t0
+        extra["box10m_dof"] = (N10 - 2) ** 3
+        extra["box10m_format"] = type(A10).__name__
+        stream_10m = 0.0
+        for _ in range(4):
+            stream_10m = measured_stream_gbps()
+            if stream_10m >= 400.0:
+                break
+            time.sleep(45)
+        extra["measured_stream_gbps_box10m"] = stream_10m
+        x10 = (
+            jax.random.normal(jax.random.PRNGKey(0), (A10.n_pad,), jnp.float32)
+            * A10.pad_mask()
+        )
+        dt10 = time_spmv_loop(A10, x10, k_lo=16, k_hi=64)
+        # Bracket the measurement (the device flips performance states):
+        # the honest ceiling is the max of the probes on either side.
+        stream_10m = max(stream_10m, measured_stream_gbps())
+        extra["measured_stream_gbps_box10m"] = stream_10m
+        raw10 = operator_bytes(A10)
+        gbps10m = raw10 / dt10 / 1e9
+        frac_box10m = gbps10m / max(stream_10m, 1e-9)
+        extra["spmv_us_box10m"] = dt10 * 1e6
+        extra["spmv_gbps_box10m"] = gbps10m
+        extra["spmv_frac_of_stream_box10m_raw"] = frac_box10m
+        extra["spmv_min_traffic_lb_us_box10m"] = (
+            raw10 / max(stream_10m, 1e-9) / 1e3
+        )
+        extra["spmv_vs_min_traffic_box10m"] = dt10 * 1e6 / max(
+            extra["spmv_min_traffic_lb_us_box10m"], 1e-9
+        )
+        del x10, A10, po10
+    except Exception as e:
+        extra["box10m_error"] = str(e)[:200]
+
     # --- CG+Jacobi solve time on tet-cube-heat ---------------------------
     b = A.put_vector(system.b.astype(np.float32))
     bscale = float(np.abs(system.b).max())
@@ -511,31 +566,35 @@ def main():
     except Exception as e:
         extra["cg_amg_1e8_error"] = str(e)[:200]
 
-    # Headline: best RAW streamed bandwidth (bytes actually moved / time)
-    # across the two SpMV sections — the honest basis (VERDICT r2 item 1);
-    # the f32-equivalent figures remain available in the extras.
-    headline = max(extra["spmv_gbps_tet_cube_streamed"], gbps1m)
+    # Headline: RAW streamed bandwidth (bytes actually moved / time) at the
+    # 10M HBM-honest scale when available (VERDICT r3: the 1M working set
+    # is VMEM-resident, so its "bandwidth" measures on-chip reuse);
+    # fallback to the best of the smaller sections if the 10M leg failed.
+    headline = gbps10m or max(extra["spmv_gbps_tet_cube_streamed"], gbps1m)
     rf = roofline_for(dev)
     extra["nominal_roofline_gbps"] = rf
     # BASELINE target: >= 80% of the SpMV bandwidth roofline.  On this
     # tunneled device the meaningful ceiling is the measured streaming rate
     # (re-measured per section — the device flips performance states);
-    # vs_baseline = best section's fraction of (0.8 * its local ceiling),
-    # all on the raw-bytes basis.  NOTE the box kernel is VPU-bound, not
-    # HBM-bound: ~21 VPU ops/slot over the padded space hits the ~1 TFLOP/s
-    # f32 VPU ceiling at ~0.70 of stream — its speed of light is compute.
+    # vs_baseline = the headline section's fraction of (0.8 * its local
+    # ceiling), all on the raw-bytes basis.  NOTE the 1M box kernel is
+    # VPU-bound, not HBM-bound: ~21 VPU ops/slot over the padded space hits
+    # the ~1 TFLOP/s f32 VPU ceiling at ~0.70 of stream — its speed of
+    # light is compute; at 10M the same kernel is HBM-bound and measures
+    # true stream fraction.
     frac_tet = extra["spmv_gbps_tet_cube_streamed"] / max(stream, 1e-9)
     frac_box = gbps1m / max(stream_box, 1e-9)
     extra["roofline_frac_tet"] = frac_tet
     extra["roofline_frac_box"] = frac_box
     extra["roofline_frac_box_f32equiv"] = gbps1m_eq / max(stream_box, 1e-9)
+    best_frac = frac_box10m or max(frac_tet, frac_box)
     print(
         json.dumps(
             {
                 "metric": "spmv_gbps",
                 "value": round(headline, 2),
                 "unit": "GB/s",
-                "vs_baseline": round(max(frac_tet, frac_box) / 0.8, 4),
+                "vs_baseline": round(best_frac / 0.8, 4),
                 "extra": extra,
             }
         )
