@@ -347,10 +347,9 @@ def bsg_from_csr(
 def _spmv_kernel(max_mo, win, w0_ref, x_ref, qq_ref, rm_ref, v_ref, y_ref):
     import jax.experimental.pallas as pl
 
-    ti = pl.program_id(0)
     acc = jnp.zeros((SUBL, LANES), jnp.float32)
     for m in range(max_mo):
-        W = x_ref[pl.ds(w0_ref[ti, m], win), :]
+        W = x_ref[pl.ds(w0_ref[0, 0, m], win), :]
         qq = qq_ref[0, m].astype(jnp.int32)
         if win == SUBL:
             t1 = jnp.take_along_axis(W, qq, axis=0)
@@ -380,16 +379,29 @@ def bsg_spmv(A: BSGMatrix, x_padded: jax.Array, *, interpret: bool = False) -> j
     from jax.experimental.pallas import tpu as pltpu
 
     x2 = _as_x2(A, x_padded.astype(jnp.float32))
+    # w0 is a per-tile-blocked SMEM input, NOT a scalar-prefetch operand:
+    # prefetch operands live wholly in SMEM (1 MB), and (n_tiles, max_mo)
+    # int32 outgrows it at ~1M rows (3.2 MB at 3.2M DOF — observed
+    # "Allocation would exceed memory (space=smem)" compile failure).
+    # Blocked, each grid step holds only its tile's max_mo window starts.
+    # The unit middle axis satisfies the last-two-dims block rule (the
+    # block's trailing dims must equal the array's when not (8, 128)-
+    # divisible).
+    w0_3 = A.w0[:, None, :]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(A.n_tiles,),
         in_specs=[
+            pl.BlockSpec(
+                (1, 1, A.max_mo), lambda t: (t, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x2 resident
-            pl.BlockSpec((1, A.max_mo, SUBL, LANES), lambda t, w: (t, 0, 0, 0)),
-            pl.BlockSpec((1, A.max_mo, SUBL, LANES), lambda t, w: (t, 0, 0, 0)),
-            pl.BlockSpec((1, A.max_mo, SUBL, LANES), lambda t, w: (t, 0, 0, 0)),
+            pl.BlockSpec((1, A.max_mo, SUBL, LANES), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, A.max_mo, SUBL, LANES), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, A.max_mo, SUBL, LANES), lambda t: (t, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, SUBL, LANES), lambda t, w: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, SUBL, LANES), lambda t: (t, 0, 0)),
     )
     # x64=False during kernel trace: Mosaic's convert lowering recurses on
     # the f64-intermediate casts x64 tracing inserts (see stencil_kernel).
@@ -399,5 +411,5 @@ def bsg_spmv(A: BSGMatrix, x_padded: jax.Array, *, interpret: bool = False) -> j
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((A.n_tiles, SUBL, LANES), jnp.float32),
             interpret=interpret,
-        )(A.w0, x2, A.qq, A.rm, A.vals)
+        )(w0_3, x2, A.qq, A.rm, A.vals)
     return y.reshape(A.n_pad).astype(x_padded.dtype)
