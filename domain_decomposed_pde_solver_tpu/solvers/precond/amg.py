@@ -694,6 +694,18 @@ def smoothed_aggregation_setup(
             # diagonal-count probe (a full pass over 132M indices at 10M
             # DOF) would be wasted.
             aggressive_levels = 0
+        elif use_fine_op and isinstance(fine_operator, BSGMatrix) and (
+            A.n_rows > 200_000
+        ):
+            # A large BSG fine level: smoothing rides the shuffle-gather
+            # kernel (fast), but a single-round level 1 would be a
+            # multi-100k-row ELL whose serialized gathers dominate the
+            # whole V-cycle — measured at 3.2M-DOF refined lbracket:
+            # 325 ms/cycle, CG+AMG(1e-6) 22.1 s LOSING to plain Jacobi
+            # (5.3 s).  The aggressive rationale (see docstring) applies
+            # even more strongly than for DIA fine levels; no diagonal
+            # probe needed (the operator is known unstructured).
+            aggressive_levels = 1
         elif operator_format != "ell" and A.n_rows > 200_000:
             ndiags = _count_diagonals_capped(A, 64)
             aggressive_levels = 1 if ndiags <= 64 else 0
