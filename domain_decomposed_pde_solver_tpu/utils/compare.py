@@ -108,17 +108,15 @@ def compare_preconditioners(
                 "iterations": -1, "converged": False, "error": "zero pivot"
             }
         else:
-            per_part = [
-                jax.tree_util.tree_map(lambda leaf, p=p: leaf[p], Ms)
-                for p in range(plan.nparts)
-            ]
+            # One vmapped dispatch over the stacked part axis per GMRES
+            # iteration — the per-part Python loop paid plan.nparts jit
+            # dispatches per iteration (measured 259 s for the brick P=8
+            # row on CPU; ~8x less overhead this way).
+            apply_all = jax.jit(jax.vmap(lambda M, r: M(r)))
 
             def schwarz_mv(v):
                 rp = plan.scatter_vector(np.ravel(v).astype(np.float64))
-                outp = np.stack([
-                    np.asarray(per_part[p](jnp.asarray(rp[p], dt)))
-                    for p in range(plan.nparts)
-                ])
+                outp = np.asarray(apply_all(Ms, jnp.asarray(rp, dt)))
                 return plan.gather_vector(outp.astype(np.float64))
 
             Msl = spla.LinearOperator((n, n), matvec=schwarz_mv)
