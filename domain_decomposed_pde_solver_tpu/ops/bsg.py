@@ -178,6 +178,7 @@ def bsg_from_csr(
     reorder: bool = True,
     storage: str = "auto",
     win: int = SUBL,
+    sparse_upload: object = "auto",
 ) -> BSGMatrix:
     """Pack a square CSR matrix into BSG form.
 
@@ -192,6 +193,15 @@ def bsg_from_csr(
     gather, and the decomposed lowering pays win/8 (= 4x) the shuffle
     work per micro-op — a structural net loss, so 8 stays the default
     (win=8 measures 0.83 of the probed stream on tet-cube-heat).
+
+    ``sparse_upload="auto"`` ships the packed slot arrays to the device as
+    (index, value) pairs and scatters on device when the slot fill is low
+    (< 0.25).  Slot fill falls with scale (0.21 on 20k-row tet-cube, 0.064
+    on 3.2M-row refined lbracket): the dense host slot arrays are then
+    mostly zeros — ~4.5 GB of host->device transfer at 3.2M, which
+    dominated the measured 208 s pack time on the tunneled link — while
+    the sparse form moves ~0.8 GB and the device-side scatter is exact
+    (slot indices are unique by the micro-op conflict rules).
     """
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("BSG requires a square operator")
@@ -287,8 +297,85 @@ def bsg_from_csr(
             max_mo = max(max_mo, uk.size)
         max_mo = max(1, max_mo)
 
-    # Single-pass native fill of the packed arrays (+ diag); NumPy fancy-
-    # scatter fallback.
+    n_slots = n_tiles * max_mo * SUBL * LANES
+    if sparse_upload == "auto":
+        sparse_upload = rows.size < 0.25 * n_slots and n_slots <= 2**31 - 1
+    if sparse_upload:
+        # (index, value) upload + device scatter: the dense slot arrays
+        # are (1 - fill) zeros, and fill shrinks with scale.  Slot
+        # uniqueness: within a micro-op each output (a, l) appears at most
+        # once (vals/rm slots) and each source (a, r) at most once (qq
+        # slots) — the packer's conflict rules — so .at[].set has no
+        # duplicate collisions and the result is bit-identical to the
+        # dense fill (tests/test_bsg.py asserts it).
+        t = rows // TILE
+        a = (rows % TILE) // LANES
+        l = rows % LANES
+        g = cols // LANES
+        r = cols % LANES
+        b = g // win
+        base = (t * np.int64(max_mo) + mo_index) * SUBL
+        idx_vl = ((base + a) * LANES + l).astype(np.int32)
+        idx_q = ((base + a) * LANES + r).astype(np.int32)
+        w0 = np.zeros((n_tiles, max_mo), dtype=np.int32)
+        w0[t, mo_index] = (b * win).astype(np.int32)
+        diag = np.zeros(n_pad, dtype=np.float32)
+        dmask = rows == cols
+        diag[rows[dmask]] = data[dmask].astype(np.float32)
+        shape4 = (n_tiles, max_mo, SUBL, LANES)
+        vals = (
+            jnp.zeros(n_slots, jnp.float32)
+            .at[jnp.asarray(idx_vl)]
+            .set(jnp.asarray(data.astype(np.float32)))
+            .reshape(shape4)
+        )
+        rm = (
+            jnp.zeros(n_slots, jnp.int8)
+            .at[jnp.asarray(idx_vl)]
+            .set(jnp.asarray(r.astype(np.int8)))
+            .reshape(shape4)
+        )
+        qq = (
+            jnp.zeros(n_slots, jnp.int8)
+            .at[jnp.asarray(idx_q)]
+            .set(jnp.asarray((g - b * win).astype(np.int8)))
+            .reshape(shape4)
+        )
+    else:
+        filled = _bsg_fill_dense(
+            rows, cols, data, mo_index, win, n_tiles, max_mo, n_pad
+        )
+        w0, qq, rm, vals, diag = filled
+
+    if storage == "auto":
+        # Bit-level exactness check on the CSR values (native one-pass; the
+        # ml_dtypes host cast of the dense slot array cost ~7 s at 6M nnz).
+        from .dia import _bf16_exact
+
+        storage = "bfloat16" if _bf16_exact(np.asarray(csr.data)) else "float32"
+    vals_j = jnp.asarray(vals)
+    if storage == "bfloat16":
+        vals_j = vals_j.astype(jnp.bfloat16)  # cast on device (XLA), not host
+
+    return BSGMatrix(
+        w0=jnp.asarray(w0),
+        qq=jnp.asarray(qq),
+        rm=jnp.asarray(rm),
+        vals=vals_j,
+        diag=jnp.asarray(diag),
+        perm=jnp.asarray(perm) if perm is not None else None,
+        n_rows=n,
+        n_tiles=n_tiles,
+        max_mo=max_mo,
+        nx2=nx2,
+        storage=storage,
+        win=win,
+    )
+
+
+def _bsg_fill_dense(rows, cols, data, mo_index, win, n_tiles, max_mo, n_pad):
+    """Dense host fill of the packed slot arrays (+ w0, diag): single-pass
+    native kernel, NumPy fancy-scatter fallback."""
     from ..utils.native import bsg_fill_native
 
     filled = bsg_fill_native(
@@ -317,31 +404,7 @@ def bsg_from_csr(
         diag = np.zeros(n_pad, dtype=np.float32)
         dmask = rows == cols
         diag[rows[dmask]] = data[dmask].astype(np.float32)
-
-    if storage == "auto":
-        # Bit-level exactness check on the CSR values (native one-pass; the
-        # ml_dtypes host cast of the dense slot array cost ~7 s at 6M nnz).
-        from .dia import _bf16_exact
-
-        storage = "bfloat16" if _bf16_exact(np.asarray(csr.data)) else "float32"
-    vals_j = jnp.asarray(vals)
-    if storage == "bfloat16":
-        vals_j = vals_j.astype(jnp.bfloat16)  # cast on device (XLA), not host
-
-    return BSGMatrix(
-        w0=jnp.asarray(w0),
-        qq=jnp.asarray(qq),
-        rm=jnp.asarray(rm),
-        vals=vals_j,
-        diag=jnp.asarray(diag),
-        perm=jnp.asarray(perm) if perm is not None else None,
-        n_rows=n,
-        n_tiles=n_tiles,
-        max_mo=max_mo,
-        nx2=nx2,
-        storage=storage,
-        win=win,
-    )
+    return w0, qq, rm, vals, diag
 
 
 def _spmv_kernel(max_mo, win, w0_ref, x_ref, qq_ref, rm_ref, v_ref, y_ref):

@@ -85,6 +85,28 @@ def test_bsg_wide_windows_match_csr(win):
     np.testing.assert_allclose(y2, y_ref, rtol=2e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("win", [8, 32])
+def test_bsg_sparse_upload_bit_identical(win):
+    """The low-fill (index, value) device-scatter construction must produce
+    the SAME packed operator as the dense host fill — w0/qq/rm/vals/diag
+    all bit-identical (slot indices are unique by the micro-op conflict
+    rules, so the scatter cannot collide)."""
+    S = _random_laplacian(3000, 12, 11)
+    Ad = bsg_from_csr(_to_csr(S), win=win, sparse_upload=False)
+    As = bsg_from_csr(_to_csr(S), win=win, sparse_upload=True)
+    assert As.max_mo == Ad.max_mo and As.n_tiles == Ad.n_tiles
+    for name in ("w0", "qq", "rm", "vals", "diag"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(As, name)), np.asarray(getattr(Ad, name)),
+            err_msg=name,
+        )
+    x = np.random.default_rng(3).standard_normal(3000).astype(np.float32)
+    y_ref = (S @ x).astype(np.float32)
+    xp = As.put_vector(x)
+    y = As.get_vector(np.asarray(As.matvec_reference(xp)))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=1e-4)
+
+
 def test_bsg_win_validation():
     S = _random_laplacian(64, 4, 8)
     with pytest.raises(ValueError):
