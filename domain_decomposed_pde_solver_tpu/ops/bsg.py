@@ -62,8 +62,9 @@ SUBL = 8
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["w0", "qq", "rm", "vals", "diag", "perm"],
-    meta_fields=["n_rows", "n_tiles", "max_mo", "nx2", "storage", "win"],
+    data_fields=["w0", "qq", "rm", "vals", "diag", "perm", "tmap"],
+    meta_fields=["n_rows", "n_tiles", "max_mo", "nx2", "storage", "win",
+                 "chunk"],
 )
 @dataclasses.dataclass
 class BSGMatrix:
@@ -72,6 +73,20 @@ class BSGMatrix:
     Vectors passed to :meth:`matvec` live in the *internal (permuted,
     padded)* space of length ``n_pad = n_tiles * 1024``; use
     :meth:`put_vector` / :meth:`get_vector` to convert.
+
+    Two storage layouts share this class (``tmap is None`` selects dense):
+
+    - **dense**: every tile stores ``max_mo`` micro-ops —
+      ``qq/rm/vals`` are ``(n_tiles, max_mo, 8, 128)``.  Simple, but at
+      scale the per-tile micro-op count spreads (refined lbracket at
+      3.2M rows: mean 130 vs max 229) and every tile pays the max.
+    - **ragged**: micro-ops are stored flat, each tile padded only to a
+      multiple of ``chunk`` — ``qq/rm/vals`` are
+      ``(n_chunks, chunk, 8, 128)``, ``w0`` is ``(n_chunks, chunk)``,
+      and ``tmap`` maps chunk -> output tile.  The kernel grids over
+      chunks and revisits each tile's output block (sequential TPU grid,
+      accumulate-in-VMEM), cutting HBM bytes by max_mo/mean_mo (1.66x
+      measured at 3.2M rows) at identical arithmetic.
     """
 
     w0: jax.Array  # (n_tiles, max_mo) int32 window start rows (mult. of win)
@@ -87,6 +102,9 @@ class BSGMatrix:
     storage: str  # "float32" | "bfloat16"
     win: int = SUBL  # x-rows per window bin (8 or 32; wider = fewer
     #   micro-ops at higher per-gather cost — measure before changing)
+    tmap: Optional[jax.Array] = None  # (n_chunks,) int32 chunk -> tile
+    #   (ragged layout only; None selects the dense layout)
+    chunk: int = 0  # micro-ops per chunk (ragged layout only)
 
     @property
     def n_pad(self) -> int:
@@ -138,12 +156,23 @@ class BSGMatrix:
         the packing itself and as the non-TPU fallback."""
         x2 = _as_x2(self, x_padded)
         W = x2[self.w0.reshape(-1)[:, None] + np.arange(self.win)[None, :], :]
-        W = W.reshape(self.n_tiles, self.max_mo, self.win, LANES)
-        qq = self.qq.astype(jnp.int32)
-        rm = self.rm.astype(jnp.int32)
-        t1 = jnp.take_along_axis(W, qq, axis=2)
-        g = jnp.take_along_axis(t1, rm, axis=3)
-        y = (self.vals.astype(x_padded.dtype) * g).sum(axis=1)
+        if self.tmap is None:
+            W = W.reshape(self.n_tiles, self.max_mo, self.win, LANES)
+            qq = self.qq.astype(jnp.int32)
+            rm = self.rm.astype(jnp.int32)
+            t1 = jnp.take_along_axis(W, qq, axis=2)
+            g = jnp.take_along_axis(t1, rm, axis=3)
+            y = (self.vals.astype(x_padded.dtype) * g).sum(axis=1)
+            return y.reshape(self.n_pad)
+        # Ragged: flat micro-ops, per-chunk tile segment-sum.
+        m_tot = self.tmap.shape[0] * self.chunk
+        qq = self.qq.astype(jnp.int32).reshape(m_tot, SUBL, LANES)
+        rm = self.rm.astype(jnp.int32).reshape(m_tot, SUBL, LANES)
+        t1 = jnp.take_along_axis(W, qq, axis=1)
+        g = jnp.take_along_axis(t1, rm, axis=2)
+        contrib = self.vals.astype(x_padded.dtype).reshape(g.shape) * g
+        seg = jnp.repeat(self.tmap.astype(jnp.int32), self.chunk)
+        y = jax.ops.segment_sum(contrib, seg, num_segments=self.n_tiles)
         return y.reshape(self.n_pad)
 
 
@@ -179,6 +208,8 @@ def bsg_from_csr(
     storage: str = "auto",
     win: int = SUBL,
     sparse_upload: object = "auto",
+    layout: str = "auto",
+    chunk: int = 16,
 ) -> BSGMatrix:
     """Pack a square CSR matrix into BSG form.
 
@@ -202,6 +233,14 @@ def bsg_from_csr(
     dominated the measured 208 s pack time on the tunneled link — while
     the sparse form moves ~0.8 GB and the device-side scatter is exact
     (slot indices are unique by the micro-op conflict rules).
+
+    ``layout="auto"`` picks the ragged (chunked flat micro-op) layout when
+    it cuts slot bytes >= 1.25x vs dense and the operator is big enough
+    (>= 64 tiles) for the chunk-grid kernel to amortize; ``chunk`` is the
+    micro-ops-per-grid-step granularity (each tile's micro-op count is
+    rounded up to a multiple of it).  At 3.2M-row refined lbracket the
+    per-tile micro-op count spreads 130 mean / 229 max, so dense pays
+    1.76x the bytes ragged does (measured 2920 -> 1756 MB at chunk=16).
     """
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("BSG requires a square operator")
@@ -297,9 +336,56 @@ def bsg_from_csr(
             max_mo = max(max_mo, uk.size)
         max_mo = max(1, max_mo)
 
-    n_slots = n_tiles * max_mo * SUBL * LANES
+    t = rows // TILE
+    tmap = None
+    if layout == "auto":
+        cnt = np.zeros(n_tiles, dtype=np.int64)
+        np.maximum.at(cnt, t, mo_index + 1)
+        padded = -(-np.maximum(cnt, 1) // chunk) * chunk
+        layout = (
+            "ragged"
+            if n_tiles >= 64 and int(padded.sum()) <= 0.8 * n_tiles * max_mo
+            else "dense"
+        )
+    if layout == "ragged":
+        # Flat micro-op storage: tile ti's micro-ops live at
+        # [offs[ti], offs[ti] + cnt[ti]), padded up to a chunk multiple
+        # (padding micro-ops have vals = 0 / w0 = 0 — harmless).
+        cnt = np.zeros(n_tiles, dtype=np.int64)
+        np.maximum.at(cnt, t, mo_index + 1)
+        padded = -(-np.maximum(cnt, 1) // chunk) * chunk
+        offs = np.concatenate([[0], np.cumsum(padded)])
+        m_tot = int(offs[-1])
+        n_chunks = m_tot // chunk
+        tmap = np.repeat(
+            np.arange(n_tiles, dtype=np.int32), (padded // chunk)
+        )
+        gmo = offs[t] + mo_index  # global (flat) micro-op id per entry
+        shape4 = (n_chunks, chunk, SUBL, LANES)
+        shape_w0 = (n_chunks, chunk)
+        base = gmo * np.int64(SUBL)
+        w0 = np.zeros(m_tot, dtype=np.int32)
+    else:
+        shape4 = (n_tiles, max_mo, SUBL, LANES)
+        shape_w0 = (n_tiles, max_mo)
+        gmo = t * np.int64(max_mo) + mo_index
+        base = gmo * np.int64(SUBL)
+        m_tot = n_tiles * max_mo
+        w0 = np.zeros(m_tot, dtype=np.int32)
+
+    n_slots = m_tot * SUBL * LANES
     if sparse_upload == "auto":
         sparse_upload = rows.size < 0.25 * n_slots and n_slots <= 2**31 - 1
+    a = (rows % TILE) // LANES
+    l = rows % LANES
+    g = cols // LANES
+    r = cols % LANES
+    b = g // win
+    w0[gmo] = (b * win).astype(np.int32)
+    w0 = w0.reshape(shape_w0)
+    diag = np.zeros(n_pad, dtype=np.float32)
+    dmask = rows == cols
+    diag[rows[dmask]] = data[dmask].astype(np.float32)
     if sparse_upload:
         # (index, value) upload + device scatter: the dense slot arrays
         # are (1 - fill) zeros, and fill shrinks with scale.  Slot
@@ -307,40 +393,34 @@ def bsg_from_csr(
         # once (vals/rm slots) and each source (a, r) at most once (qq
         # slots) — the packer's conflict rules — so .at[].set has no
         # duplicate collisions and the result is bit-identical to the
-        # dense fill (tests/test_bsg.py asserts it).
-        t = rows // TILE
-        a = (rows % TILE) // LANES
-        l = rows % LANES
-        g = cols // LANES
-        r = cols % LANES
-        b = g // win
-        base = (t * np.int64(max_mo) + mo_index) * SUBL
-        idx_vl = ((base + a) * LANES + l).astype(np.int32)
-        idx_q = ((base + a) * LANES + r).astype(np.int32)
-        w0 = np.zeros((n_tiles, max_mo), dtype=np.int32)
-        w0[t, mo_index] = (b * win).astype(np.int32)
-        diag = np.zeros(n_pad, dtype=np.float32)
-        dmask = rows == cols
-        diag[rows[dmask]] = data[dmask].astype(np.float32)
-        shape4 = (n_tiles, max_mo, SUBL, LANES)
+        # dense fill (tests/test_bsg.py asserts it).  The qq slot index is
+        # derived ON DEVICE from the vals slot index (same base, lane r
+        # instead of l) — 4 fewer bytes/nnz through the tunneled link.
+        idx_vl = jnp.asarray(((base + a) * LANES + l).astype(np.int32))
+        r8 = jnp.asarray(r.astype(np.int8))
+        l8 = jnp.asarray(l.astype(np.int8))
+        idx_q = idx_vl + (r8.astype(jnp.int32) - l8.astype(jnp.int32))
         vals = (
             jnp.zeros(n_slots, jnp.float32)
-            .at[jnp.asarray(idx_vl)]
+            .at[idx_vl]
             .set(jnp.asarray(data.astype(np.float32)))
             .reshape(shape4)
         )
-        rm = (
-            jnp.zeros(n_slots, jnp.int8)
-            .at[jnp.asarray(idx_vl)]
-            .set(jnp.asarray(r.astype(np.int8)))
-            .reshape(shape4)
-        )
+        rm = jnp.zeros(n_slots, jnp.int8).at[idx_vl].set(r8).reshape(shape4)
         qq = (
             jnp.zeros(n_slots, jnp.int8)
-            .at[jnp.asarray(idx_q)]
+            .at[idx_q]
             .set(jnp.asarray((g - b * win).astype(np.int8)))
             .reshape(shape4)
         )
+    elif layout == "ragged":
+        ch, mc = gmo // chunk, gmo % chunk
+        vals = np.zeros(shape4, dtype=np.float32)
+        rm = np.zeros(shape4, dtype=np.int8)
+        qq = np.zeros(shape4, dtype=np.int8)
+        vals[ch, mc, a, l] = data.astype(np.float32)
+        rm[ch, mc, a, l] = r.astype(np.int8)
+        qq[ch, mc, a, r] = (g - b * win).astype(np.int8)
     else:
         filled = _bsg_fill_dense(
             rows, cols, data, mo_index, win, n_tiles, max_mo, n_pad
@@ -370,6 +450,8 @@ def bsg_from_csr(
         nx2=nx2,
         storage=storage,
         win=win,
+        tmap=jnp.asarray(tmap) if tmap is not None else None,
+        chunk=chunk if tmap is not None else 0,
     )
 
 
@@ -414,25 +496,95 @@ def _spmv_kernel(max_mo, win, w0_ref, x_ref, qq_ref, rm_ref, v_ref, y_ref):
     for m in range(max_mo):
         W = x_ref[pl.ds(w0_ref[0, 0, m], win), :]
         qq = qq_ref[0, m].astype(jnp.int32)
-        if win == SUBL:
-            t1 = jnp.take_along_axis(W, qq, axis=0)
-        else:
-            # Mosaic refuses the direct cross-sublane-tile gather (trace
-            # AssertionError): decompose into win/8 within-tile gathers +
-            # selects.  ~win/8 x the shuffle work per micro-op, so wide
-            # windows only pay off if they cut micro-ops by more than that
-            # (measured: they don't on tet meshes — win=8 stays default).
-            t1 = jnp.zeros((SUBL, LANES), jnp.float32)
-            for s in range(win // SUBL):
-                part = jnp.take_along_axis(
-                    W[s * SUBL : (s + 1) * SUBL],
-                    jnp.clip(qq - s * SUBL, 0, SUBL - 1),
-                    axis=0,
-                )
-                t1 = jnp.where(qq // SUBL == s, part, t1)
+        t1 = _gather_window(W, qq, win)
         g = jnp.take_along_axis(t1, rm_ref[0, m].astype(jnp.int32), axis=1)
         acc = acc + v_ref[0, m].astype(jnp.float32) * g
     y_ref[0, :, :] = acc
+
+
+def _gather_window(W, qq, win):
+    """Two-level shuffle gather of one micro-op's window (shared by the
+    dense and ragged kernels)."""
+    if win == SUBL:
+        return jnp.take_along_axis(W, qq, axis=0)
+    # Mosaic refuses the direct cross-sublane-tile gather (trace
+    # AssertionError): decompose into win/8 within-tile gathers +
+    # selects.  ~win/8 x the shuffle work per micro-op, so wide
+    # windows only pay off if they cut micro-ops by more than that.
+    t1 = jnp.zeros((SUBL, LANES), jnp.float32)
+    for s in range(win // SUBL):
+        part = jnp.take_along_axis(
+            W[s * SUBL : (s + 1) * SUBL],
+            jnp.clip(qq - s * SUBL, 0, SUBL - 1),
+            axis=0,
+        )
+        t1 = jnp.where(qq // SUBL == s, part, t1)
+    return t1
+
+
+def _spmv_ragged_kernel(C, win, tmap_ref, w0_ref, x_ref, qq_ref, rm_ref,
+                        v_ref, y_ref):
+    """Grid step = one chunk of C micro-ops, all of one output tile.
+
+    Chunks of a tile are consecutive grid steps (tmap is non-decreasing),
+    so the output block stays VMEM-resident across revisits (sequential
+    TPU grid) and is flushed once per tile; the first chunk of each tile
+    initializes it.
+    """
+    import jax.experimental.pallas as pl
+
+    c = pl.program_id(0)
+    acc = jnp.zeros((SUBL, LANES), jnp.float32)
+    for m in range(C):
+        W = x_ref[pl.ds(w0_ref[0, m], win), :]
+        qq = qq_ref[0, m].astype(jnp.int32)
+        t1 = _gather_window(W, qq, win)
+        g = jnp.take_along_axis(t1, rm_ref[0, m].astype(jnp.int32), axis=1)
+        acc = acc + v_ref[0, m].astype(jnp.float32) * g
+    first = jnp.logical_or(
+        c == 0, tmap_ref[c] != tmap_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _init():
+        y_ref[0, :, :] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        y_ref[0, :, :] = y_ref[0, :, :] + acc
+
+
+def _bsg_spmv_ragged(A: BSGMatrix, x2: jax.Array, interpret: bool) -> jax.Array:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_chunks, C = A.w0.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # tmap: chunk -> output tile
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, C), lambda c, tmap: (c, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x2 resident
+            pl.BlockSpec((1, C, SUBL, LANES), lambda c, tmap: (c, 0, 0, 0)),
+            pl.BlockSpec((1, C, SUBL, LANES), lambda c, tmap: (c, 0, 0, 0)),
+            pl.BlockSpec((1, C, SUBL, LANES), lambda c, tmap: (c, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUBL, LANES), lambda c, tmap: (tmap[c], 0, 0)
+        ),
+    )
+    with jax.enable_x64(False):
+        y = pl.pallas_call(
+            partial(_spmv_ragged_kernel, C, A.win),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (A.n_tiles, SUBL, LANES), jnp.float32
+            ),
+            interpret=interpret,
+        )(A.tmap, A.w0, x2, A.qq, A.rm, A.vals)
+    return y
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -442,6 +594,9 @@ def bsg_spmv(A: BSGMatrix, x_padded: jax.Array, *, interpret: bool = False) -> j
     from jax.experimental.pallas import tpu as pltpu
 
     x2 = _as_x2(A, x_padded.astype(jnp.float32))
+    if A.tmap is not None:
+        y = _bsg_spmv_ragged(A, x2, interpret)
+        return y.reshape(A.n_pad).astype(x_padded.dtype)
     # w0 is a per-tile-blocked SMEM input, NOT a scalar-prefetch operand:
     # prefetch operands live wholly in SMEM (1 MB), and (n_tiles, max_mo)
     # int32 outgrows it at ~1M rows (3.2 MB at 3.2M DOF — observed

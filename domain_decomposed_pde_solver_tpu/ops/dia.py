@@ -347,7 +347,7 @@ def operator_bytes(A) -> int:
     from .bsg import BSGMatrix
 
     if isinstance(A, BSGMatrix):
-        slots = A.n_tiles * A.max_mo * 8 * 128
+        slots = A.vals.size  # dense: tiles*max_mo*1024; ragged: chunked
         vb = A.vals.dtype.itemsize
         return slots * (vb + 1 + 1) + A.w0.size * 4 + 2 * A.n_pad * 4
     from .spmv import spmv_bytes

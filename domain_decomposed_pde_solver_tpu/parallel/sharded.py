@@ -152,7 +152,14 @@ class BSGShardedOperator(ShardedOperator):
                 indptr=indptr, indices=c.astype(np.int64), data=v,
                 shape=(n_ext, n_ext),
             )
-            parts.append(bsg_from_csr(csr, reorder=False, storage=storage))
+            # Dense layout: parts are stacked into (P, ...) leaves below,
+            # which needs a common (n_tiles, max_mo) shape per part — the
+            # ragged layout's per-part chunk counts differ.
+            parts.append(
+                bsg_from_csr(
+                    csr, reorder=False, storage=storage, layout="dense"
+                )
+            )
         max_mo = max(b.max_mo for b in parts)
 
         def pad_mo(b):

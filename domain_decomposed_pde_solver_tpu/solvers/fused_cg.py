@@ -157,6 +157,13 @@ def fused_cg_solve(
     """Solve ``A x = b`` (both in the operator's padded space) with the
     fused Jacobi-CG kernel.  Same contract as :func:`..cg.cg_solve` with
     ``precond=jacobi``; vectors f32."""
+    if A.tmap is not None:
+        raise ValueError(
+            "fused_cg_solve requires the dense BSG layout (it tiles the "
+            "whole solve over n_tiles x max_mo); pack with "
+            "bsg_from_csr(..., layout='dense') — ragged targets large "
+            "operators where SpMV dispatch cost is negligible anyway"
+        )
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     n_pad = A.n_pad

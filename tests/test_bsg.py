@@ -107,6 +107,65 @@ def test_bsg_sparse_upload_bit_identical(win):
     np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("win,chunk", [(8, 16), (8, 32), (16, 16), (32, 16)])
+def test_bsg_ragged_matches_csr(win, chunk):
+    """Ragged (chunked flat micro-op) layout: same numbers as CSR through
+    both the XLA reference and the Pallas chunk-grid kernel (interpret).
+    The layout exists because at scale every dense tile pays max_mo while
+    the mean is ~57% of it (measured at 3.2M-row refined lbracket)."""
+    S = _random_laplacian(4000, 14, 21)
+    A = bsg_from_csr(_to_csr(S), win=win, chunk=chunk, layout="ragged")
+    assert A.tmap is not None and A.chunk == chunk
+    n_chunks, C = A.w0.shape
+    assert C == chunk and A.qq.shape == (n_chunks, chunk, 8, 128)
+    tmap = np.asarray(A.tmap)
+    assert tmap.shape == (n_chunks,)
+    # Every tile owns >= 1 chunk and chunks are tile-ordered (the kernel's
+    # first-visit/accumulate logic needs non-decreasing tmap).
+    assert (np.diff(tmap) >= 0).all()
+    np.testing.assert_array_equal(np.unique(tmap), np.arange(A.n_tiles))
+    x = np.random.default_rng(21).standard_normal(4000).astype(np.float32)
+    y_ref = (S @ x).astype(np.float32)
+    xp = A.put_vector(x)
+    y1 = A.get_vector(np.asarray(A.matvec_reference(xp)))
+    np.testing.assert_allclose(y1, y_ref, rtol=2e-5, atol=1e-4)
+    y2 = A.get_vector(np.asarray(bsg_spmv(A, xp, interpret=True)))
+    np.testing.assert_allclose(y2, y_ref, rtol=2e-5, atol=1e-4)
+
+
+def test_bsg_ragged_sparse_upload_bit_identical():
+    """Ragged sparse (index, value) upload == ragged dense host fill."""
+    S = _random_laplacian(3000, 12, 11)
+    Ad = bsg_from_csr(_to_csr(S), layout="ragged", sparse_upload=False)
+    As = bsg_from_csr(_to_csr(S), layout="ragged", sparse_upload=True)
+    assert As.w0.shape == Ad.w0.shape
+    np.testing.assert_array_equal(np.asarray(As.tmap), np.asarray(Ad.tmap))
+    for name in ("w0", "qq", "rm", "vals", "diag"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(As, name)), np.asarray(getattr(Ad, name)),
+            err_msg=name,
+        )
+
+
+def test_bsg_layout_auto_picks_dense_when_small():
+    """Small operators stay dense (the chunk grid can't amortize), and
+    ragged is only selected when it cuts slot bytes >= 1.25x."""
+    S = _random_laplacian(2000, 10, 5)
+    A = bsg_from_csr(_to_csr(S))  # layout="auto"
+    assert A.tmap is None and A.chunk == 0
+
+
+def test_bsg_ragged_rejected_by_fused_cg():
+    from domain_decomposed_pde_solver_tpu.solvers import fused_cg_solve
+
+    S = _random_laplacian(1000, 8, 6)
+    A = bsg_from_csr(_to_csr(S), layout="ragged")
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="dense BSG layout"):
+        fused_cg_solve(A, jnp.zeros(A.n_pad, jnp.float32))
+
+
 def test_bsg_win_validation():
     S = _random_laplacian(64, 4, 8)
     with pytest.raises(ValueError):
