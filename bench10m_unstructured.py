@@ -100,8 +100,12 @@ def main():
     extra["bsg_pack_s"] = time.perf_counter() - t0
     extra["bsg_max_mo"] = int(A.max_mo)
     extra["bsg_tiles"] = int(A.n_tiles)
+    extra["bsg_layout"] = "ragged" if A.tmap is not None else "dense"
+    extra["bsg_chunk"] = int(A.chunk)
+    extra["bsg_mo_stored"] = int(A.vals.size // 1024)  # padded micro-ops
     extra["bsg_operator_mb"] = operator_bytes(A) / 1e6
     print(f"# BSG pack {extra['bsg_pack_s']:.1f}s max_mo={A.max_mo} "
+          f"layout={extra['bsg_layout']} "
           f"({extra['bsg_operator_mb']:.0f} MB)", flush=True)
 
     # --- SpMV roofline ----------------------------------------------------
