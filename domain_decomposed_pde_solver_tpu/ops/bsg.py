@@ -58,6 +58,9 @@ __all__ = ["BSGMatrix", "bsg_from_csr", "bsg_spmv"]
 TILE = 1024  # rows per tile: 8 sublanes x 128 lanes
 LANES = 128
 SUBL = 8
+# Ragged-layout chunk cap: tmap is scalar-prefetch (whole array in SMEM,
+# 1 MB total); 64k chunks = 256 KB int32, leaving room for w0 blocks etc.
+_TMAP_CAP = 65536
 
 
 @partial(
@@ -246,6 +249,10 @@ def bsg_from_csr(
         raise ValueError("BSG requires a square operator")
     if win % SUBL or not 0 < win <= 127:
         raise ValueError("win must be a multiple of 8 in [8, 127] (int8 qq)")
+    if layout not in ("auto", "dense", "ragged"):
+        raise ValueError(f"layout must be auto|dense|ragged, got {layout!r}")
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
     n = csr.n_rows
     perm = _rcm_perm(csr) if reorder else None
 
@@ -338,10 +345,19 @@ def bsg_from_csr(
 
     t = rows // TILE
     tmap = None
-    if layout == "auto":
+    if layout in ("auto", "ragged"):
         cnt = np.zeros(n_tiles, dtype=np.int64)
         np.maximum.at(cnt, t, mo_index + 1)
-        padded = -(-np.maximum(cnt, 1) // chunk) * chunk
+        # tmap is a scalar-prefetch operand and lives wholly in SMEM
+        # (1 MB total); bound n_chunks so the int32 tmap stays <= ~256 KB
+        # by widening chunk — per-tile rounding waste grows ~chunk/2 per
+        # tile but stays far below the dense layout's max_mo - mean_mo.
+        while True:
+            padded = -(-np.maximum(cnt, 1) // chunk) * chunk
+            if int(padded.sum()) // chunk <= _TMAP_CAP:
+                break
+            chunk *= 2
+    if layout == "auto":
         layout = (
             "ragged"
             if n_tiles >= 64 and int(padded.sum()) <= 0.8 * n_tiles * max_mo
@@ -351,9 +367,6 @@ def bsg_from_csr(
         # Flat micro-op storage: tile ti's micro-ops live at
         # [offs[ti], offs[ti] + cnt[ti]), padded up to a chunk multiple
         # (padding micro-ops have vals = 0 / w0 = 0 — harmless).
-        cnt = np.zeros(n_tiles, dtype=np.int64)
-        np.maximum.at(cnt, t, mo_index + 1)
-        padded = -(-np.maximum(cnt, 1) // chunk) * chunk
         offs = np.concatenate([[0], np.cumsum(padded)])
         m_tot = int(offs[-1])
         n_chunks = m_tot // chunk
@@ -381,11 +394,14 @@ def bsg_from_csr(
     g = cols // LANES
     r = cols % LANES
     b = g // win
-    w0[gmo] = (b * win).astype(np.int32)
-    w0 = w0.reshape(shape_w0)
-    diag = np.zeros(n_pad, dtype=np.float32)
-    dmask = rows == cols
-    diag[rows[dmask]] = data[dmask].astype(np.float32)
+    if sparse_upload or layout == "ragged":
+        # Host-side w0/diag; the dense host-fill branch below gets both
+        # from its native single-pass kernel instead.
+        w0[gmo] = (b * win).astype(np.int32)
+        w0 = w0.reshape(shape_w0)
+        diag = np.zeros(n_pad, dtype=np.float32)
+        dmask = rows == cols
+        diag[rows[dmask]] = data[dmask].astype(np.float32)
     if sparse_upload:
         # (index, value) upload + device scatter: the dense slot arrays
         # are (1 - fill) zeros, and fill shrinks with scale.  Slot
@@ -536,7 +552,7 @@ def _spmv_ragged_kernel(C, win, tmap_ref, w0_ref, x_ref, qq_ref, rm_ref,
     c = pl.program_id(0)
     acc = jnp.zeros((SUBL, LANES), jnp.float32)
     for m in range(C):
-        W = x_ref[pl.ds(w0_ref[0, m], win), :]
+        W = x_ref[pl.ds(w0_ref[0, 0, m], win), :]
         qq = qq_ref[0, m].astype(jnp.int32)
         t1 = _gather_window(W, qq, win)
         g = jnp.take_along_axis(t1, rm_ref[0, m].astype(jnp.int32), axis=1)
@@ -559,12 +575,17 @@ def _bsg_spmv_ragged(A: BSGMatrix, x2: jax.Array, interpret: bool) -> jax.Array:
     from jax.experimental.pallas import tpu as pltpu
 
     n_chunks, C = A.w0.shape
+    # Unit middle axis on the blocked SMEM w0: same Mosaic trailing-dims
+    # block rule workaround as the dense kernel below (commit 89adcab) —
+    # a (1, C) block on a 2-D array is refused when C isn't lane-tiled.
+    w0_3 = A.w0[:, None, :]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # tmap: chunk -> output tile
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (1, C), lambda c, tmap: (c, 0), memory_space=pltpu.SMEM
+                (1, 1, C), lambda c, tmap: (c, 0, 0),
+                memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x2 resident
             pl.BlockSpec((1, C, SUBL, LANES), lambda c, tmap: (c, 0, 0, 0)),
@@ -583,7 +604,7 @@ def _bsg_spmv_ragged(A: BSGMatrix, x2: jax.Array, interpret: bool) -> jax.Array:
                 (A.n_tiles, SUBL, LANES), jnp.float32
             ),
             interpret=interpret,
-        )(A.tmap, A.w0, x2, A.qq, A.rm, A.vals)
+        )(A.tmap, w0_3, x2, A.qq, A.rm, A.vals)
     return y
 
 
