@@ -616,6 +616,8 @@ def smoothed_aggregation_setup(
     fine_operator=None,
     level_info_out: Optional[list] = None,
     timings_out: Optional[dict] = None,
+    bsg_mid_levels: bool = True,
+    bsg_level_min_rows: int = 100_000,
 ) -> AMGPreconditioner:
     """Build the SA-AMG hierarchy from the host CSR operator.
 
@@ -645,6 +647,20 @@ def smoothed_aggregation_setup(
     (:class:`BrickProlongator`) instead of greedy aggregation — the
     transfer round trip falls from serialized-gather cost (19.6 ms at 1M
     rows) to VPU streaming reshapes.
+
+    ``bsg_mid_levels``: when the fine level is an unstructured BSG
+    operator, pack every coarse level above ``bsg_level_min_rows`` rows
+    as BSG too (instead of ELL, whose serialized gathers at a ~200-400k-
+    row level 1 cost 325 ms/cycle at 3.2M-DOF refined lbracket and made
+    CG+AMG LOSE to plain Jacobi).  The coarse Galerkin operator is
+    RCM-permuted ON THE HOST right after the triple product, so the
+    coarse level's identity layout *is* the RCM layout (``bsg_from_csr``
+    then packs with ``reorder=False`` / ``perm=None``) and the standard
+    identity-space factored transfers stay exact — the V-cycle is the
+    same algebra as the ELL hierarchy under a coarse relabeling.
+    Replaces the >200k-row aggressive-coarsening amputation that
+    flattened the hierarchy to [N, ~tiny] and capped the AMG win at
+    1.8x over Jacobi.
     """
     import scipy.sparse as sp
     import time as _time
@@ -683,6 +699,15 @@ def smoothed_aggregation_setup(
     n_pads = [
         fine_operator.n_pad if use_fine_op else pad_to(max(A.n_rows, 1))
     ]
+    # BSG mid-level chain: starts at a BSG fine operator; the distributed
+    # hierarchy builders (level_info_out consumers) reconstruct transfers
+    # from the raw agg maps and must not see host-permuted coarse levels.
+    bsg_chain = (
+        bsg_mid_levels
+        and level_info_out is None
+        and use_fine_op
+        and isinstance(fine_operator, BSGMatrix)
+    )
 
     if aggressive_levels == "auto":
         if (
@@ -697,15 +722,15 @@ def smoothed_aggregation_setup(
         elif use_fine_op and isinstance(fine_operator, BSGMatrix) and (
             A.n_rows > 200_000
         ):
-            # A large BSG fine level: smoothing rides the shuffle-gather
-            # kernel (fast), but a single-round level 1 would be a
-            # multi-100k-row ELL whose serialized gathers dominate the
-            # whole V-cycle — measured at 3.2M-DOF refined lbracket:
-            # 325 ms/cycle, CG+AMG(1e-6) 22.1 s LOSING to plain Jacobi
-            # (5.3 s).  The aggressive rationale (see docstring) applies
-            # even more strongly than for DIA fine levels; no diagonal
-            # probe needed (the operator is known unstructured).
-            aggressive_levels = 1
+            # A large BSG fine level: a single-round level 1 would be a
+            # multi-100k-row unstructured operator.  With BSG mid levels
+            # (default) that level smooths at bandwidth through the same
+            # shuffle-gather kernel, so the full multilevel hierarchy
+            # stands; without them (distributed builders, opt-out) fall
+            # back to aggressive composing — a ~200-400k-row ELL level 1
+            # serializes gathers (325 ms/cycle at 3.2M-DOF lbracket,
+            # CG+AMG losing to plain Jacobi) and must be skipped over.
+            aggressive_levels = 0 if bsg_chain else 1
         elif operator_format != "ell" and A.n_rows > 200_000:
             ndiags = _count_diagonals_capped(A, 64)
             aggressive_levels = 1 if ndiags <= 64 else 0
@@ -713,11 +738,14 @@ def smoothed_aggregation_setup(
             aggressive_levels = 0
     _mark("diag_probe")
 
+    mid_bsg = False  # this level is a BSG-packed coarse level (identity
+    #   internal space: its CSR is already host-RCM-permuted, see below)
     while A_k.shape[0] > coarse_size and len(levels) < max_levels - 1:
         # Level 0: reuse the caller's CSR — the scipy round-trip upcasts
         # indices int32 -> int64 and re-copies data (~3 GB of host traffic
         # and ~20 s of page faults at 10M DOF / 132M nnz).
         csr_k = A if len(levels) == 0 else _from_scipy(A_k)
+        this_bsg = bsg_chain if len(levels) == 0 else mid_bsg
         if (
             len(levels) == 0
             and grid_dims is not None
@@ -778,6 +806,10 @@ def smoothed_aggregation_setup(
         _mark("aggregate")
         if n_c >= A_k.shape[0] or n_c == 0:
             break  # aggregation stalled
+        # Will the coarse level be BSG-packed?  Decided HERE because the
+        # coarse pad length below must be TILE-aligned and the coarse
+        # operator/agg get the host RCM relabel after the Galerkin product.
+        coarse_bsg = bsg_chain and this_bsg and n_c > bsg_level_min_rows
         # Smoothed prolongator P = (I - omega/lmax D^-1 A) T, where T is the
         # normalized piecewise-constant tentative prolongator.  Built
         # natively in one pass (ddps_native.cpp::sa_prolongator) — the
@@ -852,15 +884,49 @@ def smoothed_aggregation_setup(
             # f32: tol=0.01 -> level-1 width 58->33, 7 CG iterations,
             # 3.7x faster V-cycle; tol>=0.05 over-weakens the hierarchy.
             A_c = _filter_weak_entries(A_c, filter_tol)
+        if coarse_bsg:
+            # Host RCM of the coarse operator so the NEXT level's identity
+            # layout is already bandwidth-minimizing — bsg_from_csr then
+            # packs it with reorder=False (perm=None, identity internal
+            # space) and the standard identity-space factored transfers
+            # below stay exact.  agg is relabeled to the new coarse ids;
+            # tval (= 1/sqrt(counts[agg])) is label-invariant under the
+            # bijection, so the already-built prolongator values and the
+            # Galerkin product above are untouched.
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            order_c = np.asarray(
+                reverse_cuthill_mckee(A_c, symmetric_mode=True)
+            ).astype(np.int64)
+            perm_c = np.empty(n_c, dtype=np.int64)
+            perm_c[order_c] = np.arange(n_c, dtype=np.int64)
+            A_c = A_c[order_c][:, order_c].tocsr()
+            A_c.sort_indices()
+            agg = perm_c[agg]
+            counts = counts[order_c]
         _mark("rap")  # noqa: E306 — after the optional filter either way
 
         n_pad_f = n_pads[-1]
-        n_pad_c = pad_to(max(n_c, 1))
+        if coarse_bsg:
+            from ...ops.bsg import TILE as _BSG_TILE
+
+            n_pad_c = -(-max(n_c, 1) // _BSG_TILE) * _BSG_TILE
+        else:
+            n_pad_c = pad_to(max(n_c, 1))
         # Level operator: DIA when the level has stencil structure (the fine
         # level of generated/structured meshes) — gather-free smoothing.
         fine_bsg = use_fine_op and len(levels) == 0
         if fine_bsg:
             lvl_A = fine_operator
+        elif this_bsg:
+            # BSG mid level: csr_k is already in this level's (host-RCM)
+            # identity order — pack without the packer's own reorder so
+            # the internal space IS the identity layout and the factored
+            # transfers below need no space map.
+            from ...ops.bsg import bsg_from_csr
+
+            lvl_A = bsg_from_csr(csr_k, reorder=False)
+            assert lvl_A.n_pad == n_pad_f, (lvl_A.n_pad, n_pad_f)
         elif operator_format == "ell":
             # Plain ELL only (the block-Schwarz stacker needs uniform
             # ELL structure across parts).
@@ -966,13 +1032,20 @@ def smoothed_aggregation_setup(
             levels.append(lvl)
             A_k = A_c
             n_pads.append(n_pad_c)
+            mid_bsg = coarse_bsg
             _mark("transfers")
             continue
 
-        if isinstance(lvl_A, (DIAMatrix, StencilOperator)) and factored_transfers:
+        if (
+            isinstance(lvl_A, (DIAMatrix, StencilOperator))
+            and factored_transfers
+        ) or (this_bsg and not fine_bsg):
             # Factored transfers: P = (I - w D^-1 A) T applied as one
             # selection gather + a gather-free DIA matvec — ~9x fewer
-            # serialized memory ops than the explicit ELL P/R.
+            # serialized memory ops than the explicit ELL P/R.  A BSG mid
+            # level takes this branch unconditionally: its identity space
+            # matches, and the explicit P below carries PRE-relabel coarse
+            # column ids whenever coarse_bsg permuted agg above.
             n_f = A_k.shape[0]
             tval_pad = np.zeros(n_pad_f, dtype=np.dtype(dtype))
             tval_pad[:n_f] = 1.0 / np.sqrt(counts[agg])
@@ -1020,6 +1093,7 @@ def smoothed_aggregation_setup(
         levels.append(lvl)
         A_k = A_c
         n_pads.append(n_pad_c)
+        mid_bsg = coarse_bsg
         _mark("transfers")
 
     # Dense coarse solve, padded with identity outside the logical block.

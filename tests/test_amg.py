@@ -245,3 +245,50 @@ def test_amg_bsg_fine_level_matches_identity_layout():
     S = sp.csr_matrix((sy.A.data, sy.A.indices, sy.A.indptr), shape=sy.A.shape)
     x = B.get_vector(r_b.x).astype(np.float64)
     assert np.linalg.norm(S @ x - bb) / np.linalg.norm(bb) < 1e-5
+
+
+def test_amg_bsg_mid_levels_match_ell_hierarchy():
+    """With bsg_level_min_rows forced tiny, every coarse level above it is
+    BSG-packed (host-RCM identity layout); the V-cycle is the same algebra
+    as the ELL hierarchy under a coarse relabeling, so CG iteration counts
+    must match within 1 and the solution must solve the system."""
+    import jax.numpy as jnp
+    from domain_decomposed_pde_solver_tpu.io import read_exodus
+    from domain_decomposed_pde_solver_tpu.models import assemble_heat_system
+    from domain_decomposed_pde_solver_tpu.ops.bsg import BSGMatrix, bsg_from_csr
+    from domain_decomposed_pde_solver_tpu.solvers import cg_solve
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import (
+        smoothed_aggregation_setup,
+    )
+
+    mesh = read_exodus("/root/reference/data/brick.exo")
+    sy = assemble_heat_system(mesh)
+    bb = (sy.b / np.abs(sy.b).max()).astype(np.float32)
+
+    B = bsg_from_csr(sy.A)
+    M_ell = smoothed_aggregation_setup(
+        sy.A, dtype=jnp.float32, fine_operator=B, bsg_mid_levels=False
+    )
+    M_bsg = smoothed_aggregation_setup(
+        sy.A, dtype=jnp.float32, fine_operator=B, bsg_level_min_rows=20
+    )
+    assert len(M_bsg.levels) >= 2
+    assert isinstance(M_bsg.levels[1].A, BSGMatrix)
+    assert M_bsg.levels[1].A.perm is None  # identity internal space
+    # Same level sizes (the relabel is a bijection per level).
+    assert [lvl.n_rows for lvl in M_bsg.levels] == [
+        lvl.n_rows for lvl in M_ell.levels
+    ]
+
+    b_b = B.put_vector(bb)
+    r_ell = cg_solve(B, b_b, jnp.zeros_like(b_b), precond=M_ell,
+                     tol=1e-6, maxiter=100)
+    r_bsg = cg_solve(B, b_b, jnp.zeros_like(b_b), precond=M_bsg,
+                     tol=1e-6, maxiter=100)
+    assert bool(r_bsg.converged)
+    assert abs(int(r_bsg.iterations) - int(r_ell.iterations)) <= 1
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((sy.A.data, sy.A.indices, sy.A.indptr), shape=sy.A.shape)
+    x = B.get_vector(r_bsg.x).astype(np.float64)
+    assert np.linalg.norm(S @ x - bb) / np.linalg.norm(bb) < 1e-5
