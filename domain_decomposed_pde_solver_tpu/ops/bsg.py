@@ -213,6 +213,7 @@ def bsg_from_csr(
     sparse_upload: object = "auto",
     layout: str = "auto",
     chunk: int = 16,
+    timings_out: Optional[dict] = None,
 ) -> BSGMatrix:
     """Pack a square CSR matrix into BSG form.
 
@@ -253,8 +254,19 @@ def bsg_from_csr(
         raise ValueError(f"layout must be auto|dense|ragged, got {layout!r}")
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
+    import time as _time
+
+    _tm = {} if timings_out is None else timings_out
+    _last = [_time.perf_counter()]
+
+    def _mark(name):
+        now = _time.perf_counter()
+        _tm[name] = _tm.get(name, 0.0) + (now - _last[0])
+        _last[0] = now
+
     n = csr.n_rows
     perm = _rcm_perm(csr) if reorder else None
+    _mark("rcm")
 
     indptr = np.asarray(csr.indptr)
     # Canonical (row, col) order in the *internal* numbering, so the slot
@@ -281,6 +293,7 @@ def bsg_from_csr(
             cols = perm[cols]
         o = np.lexsort((cols, rows))
         rows, cols, data = rows[o], cols[o], data[o]
+    _mark("canonical_order")
 
     n_tiles = max(1, -(-n // TILE))
     n_pad = n_tiles * TILE
@@ -342,6 +355,7 @@ def bsg_from_csr(
             mo_index[sel] = inv
             max_mo = max(max_mo, uk.size)
         max_mo = max(1, max_mo)
+    _mark("assign")
 
     t = rows // TILE
     tmap = None
@@ -389,6 +403,7 @@ def bsg_from_csr(
     n_slots = m_tot * SUBL * LANES
     if sparse_upload == "auto":
         sparse_upload = rows.size < 0.25 * n_slots and n_slots <= 2**31 - 1
+    _mark("layout")
     a = (rows % TILE) // LANES
     l = rows % LANES
     g = cols // LANES
@@ -429,6 +444,8 @@ def bsg_from_csr(
             .set(jnp.asarray((g - b * win).astype(np.int8)))
             .reshape(shape4)
         )
+        jax.block_until_ready((vals, rm, qq))
+        _mark("upload_scatter")
     elif layout == "ragged":
         ch, mc = gmo // chunk, gmo % chunk
         vals = np.zeros(shape4, dtype=np.float32)
@@ -437,11 +454,13 @@ def bsg_from_csr(
         vals[ch, mc, a, l] = data.astype(np.float32)
         rm[ch, mc, a, l] = r.astype(np.int8)
         qq[ch, mc, a, r] = (g - b * win).astype(np.int8)
+        _mark("host_fill")
     else:
         filled = _bsg_fill_dense(
             rows, cols, data, mo_index, win, n_tiles, max_mo, n_pad
         )
         w0, qq, rm, vals, diag = filled
+        _mark("host_fill")
 
     if storage == "auto":
         # Bit-level exactness check on the CSR values (native one-pass; the
@@ -452,6 +471,7 @@ def bsg_from_csr(
     vals_j = jnp.asarray(vals)
     if storage == "bfloat16":
         vals_j = vals_j.astype(jnp.bfloat16)  # cast on device (XLA), not host
+    _mark("storage_cast")
 
     return BSGMatrix(
         w0=jnp.asarray(w0),
