@@ -99,23 +99,24 @@ def aggregate_greedy(A: CSRMatrix, theta: float = 0.0) -> np.ndarray:
     n = A.n_rows
     indptr, indices, data = A.indptr, A.indices, A.data
     diag = A.diagonal()
+
+    # Native fast path: strength filter applied inline in C++ — no
+    # materialized filtered graph (the numpy repeat/mask/bincount/gather
+    # preamble alone cost ~5 s of the 6.35 s aggregation at 3.2M rows).
+    from ...utils.native import aggregate_greedy_filtered_native
+
+    res = aggregate_greedy_filtered_native(
+        indptr, indices, data, diag, theta, n
+    )
+    if res is not None:
+        return res[0]
+
     agg = np.full(n, -1, dtype=np.int64)
     # Strength filter mask per nonzero.
     rows = np.repeat(np.arange(n), np.diff(indptr))
     strong = (rows != indices) & (
         np.abs(data) >= theta * np.sqrt(np.abs(diag[rows] * diag[indices]) + 1e-300)
     )
-
-    # Native fast path: same three passes in C++
-    # (``native/ddps_native.cpp::aggregate_greedy``).
-    from ...utils.native import aggregate_greedy_native
-
-    s_counts = np.bincount(rows[strong], minlength=n)
-    s_indptr = np.concatenate([[0], np.cumsum(s_counts)]).astype(np.int64)
-    s_indices = indices[strong]
-    res = aggregate_greedy_native(s_indptr, s_indices, n)
-    if res is not None:
-        return res[0]
 
     # Pass 1: roots with entirely unaggregated strong neighborhoods.
     next_agg = 0

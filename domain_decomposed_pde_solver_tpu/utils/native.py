@@ -84,6 +84,14 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.dual_graph.argtypes = [_i64p, _i64, _i64, _i64, _i64, _i64p, ctypes.c_void_p]
         lib.aggregate_greedy.restype = _i64
         lib.aggregate_greedy.argtypes = [_i64p, _i64p, _i64, _i64p]
+        lib.aggregate_greedy_filtered.restype = _i64
+        lib.aggregate_greedy_filtered.argtypes = [
+            _i64p, _i64p, _f64p, _f64p, ctypes.c_double, _i64, _i64p,
+        ]
+        lib.aggregate_greedy_filtered_i32.restype = _i64
+        lib.aggregate_greedy_filtered_i32.argtypes = [
+            _i64p, _i32p, _f64p, _f64p, ctypes.c_double, _i64, _i64p,
+        ]
         lib.rcm_order.restype = None
         lib.rcm_order.argtypes = [_i64p, _i64p, _i64, _i64p]
         lib.pack_ell_f32.restype = None
@@ -363,6 +371,30 @@ def dual_graph_native(conn: np.ndarray, n: int, ncommon: int):
         indices.ctypes.data_as(ctypes.c_void_p),
     )
     return indptr, indices
+
+
+def aggregate_greedy_filtered_native(indptr, indices, data, diag,
+                                     theta: float, n: int):
+    """Strength-filtered greedy aggregation off the raw CSR (no
+    materialized filtered graph).  Returns (agg, n_agg) or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+    agg = np.zeros(n, dtype=np.int64)
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    data = np.ascontiguousarray(data, np.float64)
+    diag = np.ascontiguousarray(diag, np.float64)
+    if indices.dtype == np.int32:
+        n_agg = lib.aggregate_greedy_filtered_i32(
+            indptr, np.ascontiguousarray(indices), data, diag,
+            float(theta), n, agg,
+        )
+    else:
+        n_agg = lib.aggregate_greedy_filtered(
+            indptr, np.ascontiguousarray(indices, np.int64), data, diag,
+            float(theta), n, agg,
+        )
+    return agg, int(n_agg)
 
 
 def aggregate_greedy_native(indptr: np.ndarray, indices: np.ndarray, n: int):
