@@ -403,6 +403,13 @@ def bsg_from_csr(
     n_slots = m_tot * SUBL * LANES
     if sparse_upload == "auto":
         sparse_upload = rows.size < 0.25 * n_slots and n_slots <= 2**31 - 1
+    if storage == "auto":
+        # Bit-level exactness check on the CSR values (native one-pass; the
+        # ml_dtypes host cast of the dense slot array cost ~7 s at 6M nnz).
+        # Resolved BEFORE the fill so the sparse upload can ship bf16.
+        from .dia import _bf16_exact
+
+        storage = "bfloat16" if _bf16_exact(np.asarray(csr.data)) else "float32"
     _mark("layout")
     a = (rows % TILE) // LANES
     l = rows % LANES
@@ -424,17 +431,22 @@ def bsg_from_csr(
         # once (vals/rm slots) and each source (a, r) at most once (qq
         # slots) — the packer's conflict rules — so .at[].set has no
         # duplicate collisions and the result is bit-identical to the
-        # dense fill (tests/test_bsg.py asserts it).  The qq slot index is
-        # derived ON DEVICE from the vals slot index (same base, lane r
-        # instead of l) — 4 fewer bytes/nnz through the tunneled link.
+        # dense fill (tests/test_bsg.py asserts it).  Upload is 8 B/nnz
+        # (10 for f32 values): slot index int32 + source lane int8 +
+        # window row int8 + value (bf16 when every value round-trips
+        # exactly, the pre-resolved ``storage``); the output lane and the
+        # qq slot index are derived ON DEVICE (l = idx % 128,
+        # idx_q = idx - l + r) — the host->device link is the dominant
+        # pack cost at multi-M nnz on this tunneled environment.
         idx_vl = jnp.asarray(((base + a) * LANES + l).astype(np.int32))
         r8 = jnp.asarray(r.astype(np.int8))
-        l8 = jnp.asarray(l.astype(np.int8))
-        idx_q = idx_vl + (r8.astype(jnp.int32) - l8.astype(jnp.int32))
+        l32 = jnp.remainder(idx_vl, LANES)
+        idx_q = idx_vl - l32 + r8.astype(jnp.int32)
+        vdt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
         vals = (
-            jnp.zeros(n_slots, jnp.float32)
+            jnp.zeros(n_slots, vdt)
             .at[idx_vl]
-            .set(jnp.asarray(data.astype(np.float32)))
+            .set(jnp.asarray(data.astype(np.dtype(vdt))))
             .reshape(shape4)
         )
         rm = jnp.zeros(n_slots, jnp.int8).at[idx_vl].set(r8).reshape(shape4)
@@ -462,14 +474,8 @@ def bsg_from_csr(
         w0, qq, rm, vals, diag = filled
         _mark("host_fill")
 
-    if storage == "auto":
-        # Bit-level exactness check on the CSR values (native one-pass; the
-        # ml_dtypes host cast of the dense slot array cost ~7 s at 6M nnz).
-        from .dia import _bf16_exact
-
-        storage = "bfloat16" if _bf16_exact(np.asarray(csr.data)) else "float32"
     vals_j = jnp.asarray(vals)
-    if storage == "bfloat16":
+    if storage == "bfloat16" and vals_j.dtype != jnp.bfloat16:
         vals_j = vals_j.astype(jnp.bfloat16)  # cast on device (XLA), not host
     _mark("storage_cast")
 
