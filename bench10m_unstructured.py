@@ -96,8 +96,10 @@ def main():
 
     # --- BSG pack (the VERDICT r3 scale question) ------------------------
     t0 = time.perf_counter()
-    A = bsg_from_csr(sy.A)
+    ptm = {}
+    A = bsg_from_csr(sy.A, timings_out=ptm)
     extra["bsg_pack_s"] = time.perf_counter() - t0
+    extra["bsg_pack_phases"] = {k: round(v, 2) for k, v in ptm.items()}
     extra["bsg_max_mo"] = int(A.max_mo)
     extra["bsg_tiles"] = int(A.n_tiles)
     extra["bsg_layout"] = "ragged" if A.tmap is not None else "dense"
@@ -124,8 +126,15 @@ def main():
     extra["spmv_frac_of_stream_raw"] = extra["spmv_gbps_raw"] / max(stream, 1e-9)
     eq_bytes = 4 * (sy.A.nnz * 2 + 2 * A.n_pad)  # csr vals+cols + x + y
     extra["spmv_gbps_f32equiv"] = eq_bytes / dt / 1e9
+    # Useful-traffic efficiency: the fraction of the probed stream rate the
+    # kernel achieves counting only the minimum f32-CSR bytes — the honest
+    # "how much padding tax does the format pay" number (VERDICT r4 weak 1).
+    extra["spmv_frac_of_stream_useful"] = (
+        extra["spmv_gbps_f32equiv"] / max(stream, 1e-9)
+    )
     print(f"# SpMV {dt*1e6:.0f} us raw {extra['spmv_gbps_raw']:.0f} GB/s "
-          f"({extra['spmv_frac_of_stream_raw']:.2f} of stream)", flush=True)
+          f"({extra['spmv_frac_of_stream_raw']:.2f} of stream raw, "
+          f"{extra['spmv_frac_of_stream_useful']:.2f} useful)", flush=True)
 
     # --- greedy SA-AMG setup (unstructured; fine level in BSG space) ------
     tm = {}

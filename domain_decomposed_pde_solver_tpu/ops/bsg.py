@@ -238,13 +238,15 @@ def bsg_from_csr(
     the sparse form moves ~0.8 GB and the device-side scatter is exact
     (slot indices are unique by the micro-op conflict rules).
 
-    ``layout="auto"`` picks the ragged (chunked flat micro-op) layout when
-    it cuts slot bytes >= 1.25x vs dense and the operator is big enough
-    (>= 64 tiles) for the chunk-grid kernel to amortize; ``chunk`` is the
-    micro-ops-per-grid-step granularity (each tile's micro-op count is
-    rounded up to a multiple of it).  At 3.2M-row refined lbracket the
-    per-tile micro-op count spreads 130 mean / 229 max, so dense pays
-    1.76x the bytes ragged does (measured 2920 -> 1756 MB at chunk=16).
+    ``layout="auto"`` picks dense unless the dense slot arrays exceed
+    ~4 GB, then ragged at chunk >= 64.  Real-chip A/B at 3.2M-row
+    refined lbracket (9 configs): dense w8 is byte-bound at 1.03x of
+    the probed stream (4359 us); ragged pays a ~230 ns fixed cost per
+    grid step, so small chunks LOSE outright (c16 8712 us despite 1.65x
+    fewer bytes) and c64 only ties (4343 us, 1.43x fewer bytes) —
+    ragged is a memory-footprint lever, not a speed lever.  ``chunk``
+    is the micro-ops-per-grid-step granularity (each tile's micro-op
+    count is rounded up to a multiple of it).
     """
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("BSG requires a square operator")
@@ -359,7 +361,22 @@ def bsg_from_csr(
 
     t = rows // TILE
     tmap = None
-    if layout in ("auto", "ragged"):
+    if layout == "auto":
+        # Real-chip A/B at 3.2M-row refined lbracket (9 configs, round 5):
+        # dense is byte-bound at 1.03x of the probed stream and FASTEST in
+        # wall time; ragged carries a measured ~230 ns fixed cost per grid
+        # step (the per-step SMEM w0 block DMA is latency-exposed when the
+        # chunk's byte time is shorter), so it only TIES dense at chunk=64
+        # (4343 vs 4359 us) while storing 1.43x fewer bytes.  Pick dense
+        # for speed unless the dense slot arrays would not fit next to
+        # vectors + hierarchy in HBM — then take the ragged c64 tie and
+        # bank the memory.
+        dense_bytes = n_tiles * max_mo * TILE * 4  # bf16 val + rm + qq
+        if n_tiles >= 64 and dense_bytes > 4e9:
+            layout, chunk = "ragged", max(chunk, 64)
+        else:
+            layout = "dense"
+    if layout == "ragged":
         cnt = np.zeros(n_tiles, dtype=np.int64)
         np.maximum.at(cnt, t, mo_index + 1)
         # tmap is a scalar-prefetch operand and lives wholly in SMEM
@@ -371,12 +388,6 @@ def bsg_from_csr(
             if int(padded.sum()) // chunk <= _TMAP_CAP:
                 break
             chunk *= 2
-    if layout == "auto":
-        layout = (
-            "ragged"
-            if n_tiles >= 64 and int(padded.sum()) <= 0.8 * n_tiles * max_mo
-            else "dense"
-        )
     if layout == "ragged":
         # Flat micro-op storage: tile ti's micro-ops live at
         # [offs[ti], offs[ti] + cnt[ti]), padded up to a chunk multiple
@@ -551,16 +562,18 @@ def _gather_window(W, qq, win):
         return jnp.take_along_axis(W, qq, axis=0)
     # Mosaic refuses the direct cross-sublane-tile gather (trace
     # AssertionError): decompose into win/8 within-tile gathers +
-    # selects.  ~win/8 x the shuffle work per micro-op, so wide
-    # windows only pay off if they cut micro-ops by more than that.
+    # selects.  The within-tile row (qq & 7) and tile id (qq >> 3) are
+    # hoisted out of the per-tile loop — 3 VPU ops per sub-tile
+    # (gather, compare, select) instead of 6; dense win=32 at 3.2M rows
+    # was VPU-bound at ~12 ns/micro-op on the unhoisted form (byte time
+    # 6.5 ns), so the hoist moves the wide-window configs toward the
+    # bandwidth line instead of the shuffle line.
+    qlo = jnp.bitwise_and(qq, SUBL - 1)
+    qhi = jnp.right_shift(qq, 3)
     t1 = jnp.zeros((SUBL, LANES), jnp.float32)
     for s in range(win // SUBL):
-        part = jnp.take_along_axis(
-            W[s * SUBL : (s + 1) * SUBL],
-            jnp.clip(qq - s * SUBL, 0, SUBL - 1),
-            axis=0,
-        )
-        t1 = jnp.where(qq // SUBL == s, part, t1)
+        part = jnp.take_along_axis(W[s * SUBL : (s + 1) * SUBL], qlo, axis=0)
+        t1 = jnp.where(qhi == s, part, t1)
     return t1
 
 

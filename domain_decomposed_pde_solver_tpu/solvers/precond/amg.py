@@ -177,13 +177,15 @@ def _lmax_dinv_a_host(S) -> float:
     memory traffic of the 20 power matvecs; ~16 s -> ~9 s at 10M DOF) —
     gated so small hierarchies stay bit-identical.
 
-    Above 4M rows the estimate is replaced outright by the native
+    Above 1.5M rows the estimate is replaced outright by the native
     Gershgorin bound of D^-1 A (one streaming pass, ~0.7 s vs ~13 s of
-    power matvecs at 10M DOF).  Gershgorin is a guaranteed containment
-    bound — for the Chebyshev interval that is strictly safer than the
-    power method's underestimate-plus-5%; on fine-level Laplacians the
-    two agree to ~2% (both ~2.0)."""
-    if S.shape[0] > 4_000_000:
+    power matvecs at 10M DOF; the 3.2M lbracket level-0 sat just under
+    the old 4M gate and paid 6.5 s of host matvecs — VERDICT r4 item 6).
+    Gershgorin is a guaranteed containment bound — for the Chebyshev
+    interval that is strictly safer than the power method's
+    underestimate-plus-5%; on fine-level Laplacians the two agree to
+    ~2% (both ~2.0)."""
+    if S.shape[0] > 1_500_000:
         from ...utils.native import gersh_dinv_native
 
         g = gersh_dinv_native(
@@ -191,7 +193,7 @@ def _lmax_dinv_a_host(S) -> float:
         )
         if g is not None and g > 0:
             return float(g)
-    if S.shape[0] > 4_000_000 and S.nnz < 2**31:
+    if S.shape[0] > 1_500_000 and S.nnz < 2**31:
         import scipy.sparse as sp
 
         S = sp.csr_matrix(
