@@ -209,7 +209,7 @@ def bsg_from_csr(
     *,
     reorder: bool = True,
     storage: str = "auto",
-    win: int = SUBL,
+    win: object = "auto",
     sparse_upload: object = "auto",
     layout: str = "auto",
     chunk: int = 16,
@@ -222,12 +222,16 @@ def bsg_from_csr(
     ``storage="auto"`` keeps coefficient storage in bfloat16 when every
     value round-trips exactly (true for graph Laplacians, whose entries are
     small integers), halving HBM/VMEM bytes with bit-identical results.
-    ``win`` is the x-row width of a window bin: 8 (one sublane tile,
-    default) or 32.  Wider bins cut micro-op count ~1.4x on tet meshes
-    (fill 0.21 -> 0.30), but Mosaic refuses the direct cross-sublane-tile
-    gather, and the decomposed lowering pays win/8 (= 4x) the shuffle
-    work per micro-op — a structural net loss, so 8 stays the default
-    (win=8 measures 0.83 of the probed stream on tet-cube-heat).
+    ``win`` is the x-row width of a window bin (multiple of 8, <= 127 so
+    the window row fits int8 qq).  Wider bins merge adjacent column
+    windows, cutting micro-op count (slot fill at 3.2M lbracket: 0.064
+    at win=8 -> 0.147 at win=32) at win/8 within-sublane-tile gathers
+    per micro-op; with the hoisted gather (3 VPU ops per sub-tile) the
+    win=32 kernel stays byte-bound, so fewer bytes win outright —
+    dense win=32 measured 2559 us vs win=8's 4359 us at 3.2M rows.
+    ``win="auto"`` picks 32 for operators >= 64 tiles and 8 below that
+    (small operators are dispatch/VMEM-resident-bound; window width is
+    then noise and 8 keeps the cheapest gather).
 
     ``sparse_upload="auto"`` ships the packed slot arrays to the device as
     (index, value) pairs and scatters on device when the slot fill is low
@@ -250,6 +254,8 @@ def bsg_from_csr(
     """
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("BSG requires a square operator")
+    if win == "auto":
+        win = 32 if csr.n_rows >= 64 * TILE else SUBL
     if win % SUBL or not 0 < win <= 127:
         raise ValueError("win must be a multiple of 8 in [8, 127] (int8 qq)")
     if layout not in ("auto", "dense", "ragged"):
