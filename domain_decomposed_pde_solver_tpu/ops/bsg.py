@@ -255,7 +255,12 @@ def bsg_from_csr(
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("BSG requires a square operator")
     if win == "auto":
-        win = 32 if csr.n_rows >= 64 * TILE else SUBL
+        # Real-chip sweep at 3.2M-row lbracket (hoisted gather): win 8 /
+        # 16 / 32 / 48 / 64 = 4359 / 3229 / 2559 / 2461 / 2403 us at
+        # 2948 / 2055 / 1481 / 1340 / 1149 MB — wider windows raise slot
+        # fill faster than the extra sub-tile selects cost, flattening
+        # past 48.  64 takes both best time and smallest footprint.
+        win = 64 if csr.n_rows >= 64 * TILE else SUBL
     if win % SUBL or not 0 < win <= 127:
         raise ValueError("win must be a multiple of 8 in [8, 127] (int8 qq)")
     if layout not in ("auto", "dense", "ragged"):
@@ -379,7 +384,19 @@ def bsg_from_csr(
         # bank the memory.
         dense_bytes = n_tiles * max_mo * TILE * 4  # bf16 val + rm + qq
         if n_tiles >= 64 and dense_bytes > 4e9:
-            layout, chunk = "ragged", max(chunk, 64)
+            # Memory-constrained: take the largest chunk (least step
+            # overhead) that still beats dense on bytes — per-tile
+            # rounding can make big chunks store MORE than dense (w32 at
+            # 3.2M: c64 pads mean 84 -> 128 > max_mo 116), in which case
+            # dense is both faster and smaller and stays the pick.
+            cnt0 = np.zeros(n_tiles, dtype=np.int64)
+            np.maximum.at(cnt0, t, mo_index + 1)
+            layout = "dense"
+            for c in (64, 32, 16):
+                rb = int((-(-np.maximum(cnt0, 1) // c) * c).sum()) * TILE * 4
+                if rb <= 0.9 * dense_bytes:
+                    layout, chunk = "ragged", c
+                    break
         else:
             layout = "dense"
     if layout == "ragged":
