@@ -53,7 +53,7 @@ import numpy as np
 
 from .csr import CSRMatrix
 
-__all__ = ["BSGMatrix", "bsg_from_csr", "bsg_spmv"]
+__all__ = ["BSGMatrix", "bsg_from_csr", "bsg_from_coo", "bsg_spmv"]
 
 TILE = 1024  # rows per tile: 8 sublanes x 128 lanes
 LANES = 128
@@ -67,7 +67,7 @@ _TMAP_CAP = 65536
     jax.tree_util.register_dataclass,
     data_fields=["w0", "qq", "rm", "vals", "diag", "perm", "tmap"],
     meta_fields=["n_rows", "n_tiles", "max_mo", "nx2", "storage", "win",
-                 "chunk"],
+                 "chunk", "x_len"],
 )
 @dataclasses.dataclass
 class BSGMatrix:
@@ -108,6 +108,8 @@ class BSGMatrix:
     tmap: Optional[jax.Array] = None  # (n_chunks,) int32 chunk -> tile
     #   (ragged layout only; None selects the dense layout)
     chunk: int = 0  # micro-ops per chunk (ragged layout only)
+    x_len: int = 0  # rectangular ops (bsg_from_coo): logical input-vector
+    #   length; 0 means square (input space == output space)
 
     @property
     def n_pad(self) -> int:
@@ -180,11 +182,15 @@ class BSGMatrix:
 
 
 def _as_x2(A: BSGMatrix, x_padded: jax.Array) -> jax.Array:
-    x2 = x_padded.reshape(-1, LANES)
-    extra = A.nx2 - x2.shape[0]
-    if extra > 0:
-        x2 = jnp.concatenate([x2, jnp.zeros((extra, LANES), x2.dtype)], axis=0)
-    return x2
+    # Pad flat first: rectangular transfer ops (bsg_from_coo) take input
+    # vectors whose padded length need not be a multiple of 128.
+    need = A.nx2 * LANES
+    n = x_padded.shape[0]
+    if n < need:
+        x_padded = jnp.concatenate(
+            [x_padded, jnp.zeros(need - n, x_padded.dtype)]
+        )
+    return x_padded.reshape(A.nx2, LANES)
 
 
 def _rcm_perm(csr: CSRMatrix) -> Optional[np.ndarray]:
@@ -312,62 +318,7 @@ def bsg_from_csr(
     n_pad = n_tiles * TILE
     nx2 = n_pad // LANES + win  # zero guard rows so windows never overrun
 
-    # Micro-op assignment = bipartite edge coloring per (tile, window bin):
-    # within one micro-op each output slot (a, l) and each source pair
-    # (a, r) may appear at most once (so the two-level shuffle is exact).
-    # Native first-fit greedy (ddps_native.cpp::bsg_assign; ~20x the NumPy
-    # matching below at multi-M nnz), NumPy iterative matching fallback.
-    from ..utils.native import bsg_assign_native
-
-    # The native assigner's "subl" argument only sets the window width
-    # (win_rows * lanes columns per bin); the (a, r) source-conflict rule
-    # is lane-based and unchanged.
-    assigned = bsg_assign_native(rows, cols, TILE, win, LANES)
-    if assigned is not None:
-        mo_index, max_mo = assigned
-        max_mo = max(1, max_mo)
-    else:
-        # Greedy iterative matching: every round picks, per (t, b), at most
-        # one remaining entry per row and per (a, r) — round count
-        # approaches the max multiplicity (Konig: optimal = max degree for
-        # bipartite graphs).
-        t = rows // TILE
-        a = (rows % TILE) // LANES
-        g = cols // LANES
-        r = cols % LANES
-        b = g // win  # aligned win-row window bin
-        nb = nx2 // win + 1
-        tb = t * nb + b
-        rkey = tb * np.int64(n_pad) + rows  # one entry per row per round
-        skey = tb * np.int64(SUBL * LANES) + a * LANES + r  # per source pair
-        rounds = np.full(rows.size, -1, dtype=np.int64)
-        rem = np.arange(rows.size)
-        it = 0
-        while rem.size:
-            # First remaining entry per row-group...
-            _, fi = np.unique(rkey[rem], return_index=True)
-            cand = rem[np.sort(fi)]
-            # ...thinned to one per source-pair group.
-            _, fj = np.unique(skey[cand], return_index=True)
-            pick = cand[np.sort(fj)]
-            rounds[pick] = it
-            it += 1
-            keep = np.ones(rem.size, dtype=bool)
-            keep[np.searchsorted(rem, pick)] = False
-            rem = rem[keep]
-
-        # Dense micro-op id per tile from the (b, round) key.
-        mo_key = b * np.int64(it) + rounds
-        max_mo = 0
-        mo_index = np.zeros(rows.size, dtype=np.int64)
-        for ti in range(n_tiles):
-            sel = t == ti
-            if not sel.any():
-                continue
-            uk, inv = np.unique(mo_key[sel], return_inverse=True)
-            mo_index[sel] = inv
-            max_mo = max(max_mo, uk.size)
-        max_mo = max(1, max_mo)
+    mo_index, max_mo = _assign_micro_ops(rows, cols, win, n_tiles, nx2, n_pad)
     _mark("assign")
 
     t = rows // TILE
@@ -474,24 +425,39 @@ def bsg_from_csr(
         # pack cost at multi-M nnz on this tunneled environment.
         idx_vl = jnp.asarray(((base + a) * LANES + l).astype(np.int32))
         r8 = jnp.asarray(r.astype(np.int8))
+        qrow8 = jnp.asarray((g - b * win).astype(np.int8))
+        vdt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
+        # Integer-valued operators (the graph Laplacian: -1 off-diagonal,
+        # small positive degrees) round-trip through int8 — halves the
+        # value-stream bytes on the tunneled host->device link, which is
+        # the dominant pack cost at multi-M nnz (0.7-80 MB/s link).
+        if (
+            data.size
+            and np.all(data == np.rint(data))
+            and np.abs(data).max() <= 127
+        ):
+            vals_up = jnp.asarray(data.astype(np.int8))
+        else:
+            vals_up = jnp.asarray(data.astype(np.dtype(vdt)))
+        jax.block_until_ready((idx_vl, r8, qrow8, vals_up))
+        _mark("upload_h2d")
         l32 = jnp.remainder(idx_vl, LANES)
         idx_q = idx_vl - l32 + r8.astype(jnp.int32)
-        vdt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
         vals = (
             jnp.zeros(n_slots, vdt)
             .at[idx_vl]
-            .set(jnp.asarray(data.astype(np.dtype(vdt))))
+            .set(vals_up.astype(vdt))
             .reshape(shape4)
         )
         rm = jnp.zeros(n_slots, jnp.int8).at[idx_vl].set(r8).reshape(shape4)
         qq = (
             jnp.zeros(n_slots, jnp.int8)
             .at[idx_q]
-            .set(jnp.asarray((g - b * win).astype(np.int8)))
+            .set(qrow8)
             .reshape(shape4)
         )
         jax.block_until_ready((vals, rm, qq))
-        _mark("upload_scatter")
+        _mark("scatter_dev")
     elif layout == "ragged":
         ch, mc = gmo // chunk, gmo % chunk
         vals = np.zeros(shape4, dtype=np.float32)
@@ -528,6 +494,131 @@ def bsg_from_csr(
         win=win,
         tmap=jnp.asarray(tmap) if tmap is not None else None,
         chunk=chunk if tmap is not None else 0,
+    )
+
+
+def _assign_micro_ops(rows, cols, win, n_tiles, nx2, n_pad):
+    """Micro-op assignment = bipartite edge coloring per (tile, window bin):
+    within one micro-op each output slot (a, l) and each source pair
+    (a, r) may appear at most once (so the two-level shuffle is exact).
+    Native first-fit greedy (ddps_native.cpp::bsg_assign; ~20x the NumPy
+    matching below at multi-M nnz), NumPy iterative matching fallback.
+    Entries must be (row, col)-sorted."""
+    from ..utils.native import bsg_assign_native
+
+    # The native assigner's "subl" argument only sets the window width
+    # (win_rows * lanes columns per bin); the (a, r) source-conflict rule
+    # is lane-based and unchanged.
+    assigned = bsg_assign_native(rows, cols, TILE, win, LANES)
+    if assigned is not None:
+        mo_index, max_mo = assigned
+        return mo_index, max(1, max_mo)
+    # Greedy iterative matching: every round picks, per (t, b), at most
+    # one remaining entry per row and per (a, r) — round count
+    # approaches the max multiplicity (Konig: optimal = max degree for
+    # bipartite graphs).
+    t = rows // TILE
+    a = (rows % TILE) // LANES
+    g = cols // LANES
+    r = cols % LANES
+    b = g // win  # aligned win-row window bin
+    nb = nx2 // win + 1
+    tb = t * nb + b
+    rkey = tb * np.int64(n_pad) + rows  # one entry per row per round
+    skey = tb * np.int64(SUBL * LANES) + a * LANES + r  # per source pair
+    rounds = np.full(rows.size, -1, dtype=np.int64)
+    rem = np.arange(rows.size)
+    it = 0
+    while rem.size:
+        # First remaining entry per row-group...
+        _, fi = np.unique(rkey[rem], return_index=True)
+        cand = rem[np.sort(fi)]
+        # ...thinned to one per source-pair group.
+        _, fj = np.unique(skey[cand], return_index=True)
+        pick = cand[np.sort(fj)]
+        rounds[pick] = it
+        it += 1
+        keep = np.ones(rem.size, dtype=bool)
+        keep[np.searchsorted(rem, pick)] = False
+        rem = rem[keep]
+
+    # Dense micro-op id per tile from the (b, round) key.
+    mo_key = b * np.int64(it) + rounds
+    max_mo = 0
+    mo_index = np.zeros(rows.size, dtype=np.int64)
+    for ti in range(n_tiles):
+        sel = t == ti
+        if not sel.any():
+            continue
+        uk, inv = np.unique(mo_key[sel], return_inverse=True)
+        mo_index[sel] = inv
+        max_mo = max(max_mo, uk.size)
+    return mo_index, max(1, max_mo)
+
+
+def bsg_from_coo(
+    rows,
+    cols,
+    data,
+    n_rows: int,
+    x_len: int,
+    *,
+    win: int = SUBL,
+    storage: str = "auto",
+) -> BSGMatrix:
+    """Pack an arbitrary (possibly rectangular) COO pattern into BSG form.
+
+    ``rows`` index the output space ``[0, n_rows)`` and ``cols`` the input
+    space ``[0, x_len)``; no reordering is applied — both numberings are
+    taken as given (callers supply internal/padded layouts).  Built for
+    AMG grid transfers: with the coarse space relabeled by first
+    appearance along the fine internal order, the tentative prolongator
+    ``T`` (one entry per fine row, near-monotone columns) and the
+    restriction ``T^T`` (contiguous-ish column runs per coarse row) both
+    pack into a handful of micro-ops per tile, replacing the serialized
+    ``jnp.take``/``segment_sum`` transfer pair (~9 ns/element on TPU — the
+    dominant V-cycle cost at 3.2M rows) with bandwidth-rate shuffle
+    gathers (SURVEY §7 "hard parts": unstructured gather/scatter).
+
+    ``matvec`` input is any vector of length >= the padded input space
+    (shorter inputs are zero-extended to ``nx2*128`` internally); output
+    is the padded ``n_tiles*1024`` space.
+    """
+    if win % SUBL or not 0 < win <= 127:
+        raise ValueError("win must be a multiple of 8 in [8, 127] (int8 qq)")
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    data = np.ascontiguousarray(data, np.float64)
+    o = np.lexsort((cols, rows))
+    rows, cols, data = rows[o], cols[o], data[o]
+    n_tiles = max(1, -(-int(n_rows) // TILE))
+    n_pad = n_tiles * TILE
+    nx2 = -(-int(x_len) // LANES) + win  # zero guard rows for windows
+    mo_index, max_mo = _assign_micro_ops(rows, cols, win, n_tiles, nx2, n_pad)
+    w0, qq, rm, vals, _diag = _bsg_fill_dense(
+        rows, cols, data, mo_index, win, n_tiles, max_mo, n_pad
+    )
+    if storage == "auto":
+        from .dia import _bf16_exact
+
+        storage = "bfloat16" if _bf16_exact(data) else "float32"
+    vals_j = jnp.asarray(vals)
+    if storage == "bfloat16":
+        vals_j = vals_j.astype(jnp.bfloat16)
+    return BSGMatrix(
+        w0=jnp.asarray(w0),
+        qq=jnp.asarray(qq),
+        rm=jnp.asarray(rm),
+        vals=vals_j,
+        diag=jnp.zeros((n_pad,), jnp.float32),
+        perm=None,
+        n_rows=int(n_rows),
+        n_tiles=n_tiles,
+        max_mo=max_mo,
+        nx2=nx2,
+        storage=storage,
+        win=win,
+        x_len=int(x_len),
     )
 
 

@@ -327,14 +327,74 @@ class FactoredProlongator:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["G", "GT", "scale", "A"],
+    meta_fields=["n_pad_c"],
+)
+@dataclasses.dataclass
+class BSGTransferProlongator:
+    """Factored smoothed prolongator with BSG-packed tentative transfers.
+
+    Same algebra as :class:`FactoredProlongator` — ``P = (I - sA) T`` —
+    but the selection gather ``tval * x_c[agg]`` and the segment-sum
+    ``T^T w`` are evaluated as rectangular BSG shuffle-gather matvecs
+    (``ops.bsg.bsg_from_coo``).  On TPU ``jnp.take``/``segment_sum``
+    serialize at ~9 ns/element, so at 3.2M fine rows the transfer round
+    trip (~60 ms) dominated the whole V-cycle; the BSG forms stream at
+    bandwidth.  ``G`` holds T with tval folded into its values (fine
+    internal rows x coarse internal cols); ``GT`` its transpose.  Exact
+    up to f32 summation order in ``GT`` (each fine row of ``G`` has a
+    single entry, so prolongation is bit-identical to the gather form).
+    """
+
+    G: object  # BSGMatrix, (n_pad_f out) x (n_pad_c in)
+    GT: object  # BSGMatrix, (>= n_pad_c out) x (n_pad_f in)
+    scale: jax.Array  # (n_pad_f,) omega/lmax * 1/diag (0 on padding)
+    A: object  # fine-level operator (BSG pytree with .matvec)
+    n_pad_c: int
+
+    def matvec(self, x_c: jax.Array) -> jax.Array:
+        t = self.G.matvec(x_c)
+        return t - self.scale * self.A.matvec(t)
+
+    def rmatvec(self, r: jax.Array) -> jax.Array:
+        s = r - self.A.matvec(self.scale * r)
+        return self.GT.matvec(s)[: self.n_pad_c]
+
+
+def _build_bsg_transfers(agg, counts, rows_int, n_c, n_pad_f, n_pad_c):
+    """Pack the tentative transfer T (tval folded in) and T^T as
+    rectangular BSG operators (see :class:`BSGTransferProlongator`).
+
+    ``rows_int``: internal (operator-space) row per original fine row —
+    the fine BSG operator's ``perm`` at level 0, identity on mid levels.
+    ``agg``/``counts`` must already be in the relabeled (first-appearance)
+    coarse numbering so the column streams are near-monotone.
+    """
+    from ...ops.bsg import TILE as _BSG_TILE
+    from ...ops.bsg import bsg_from_coo
+
+    tval = (1.0 / np.sqrt(counts))[agg]
+    n_f = agg.shape[0]
+    G = bsg_from_coo(
+        rows_int, agg, tval, n_pad_f, n_pad_c, win=8, storage="float32"
+    )
+    win_t = 64 if n_f >= 64 * _BSG_TILE else 8
+    GT = bsg_from_coo(
+        agg, rows_int, tval, n_c, n_pad_f, win=win_t, storage="float32"
+    )
+    return G, GT
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["P"],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class FactoredRestriction:
-    """R = P^T for a :class:`FactoredProlongator` (shares its arrays)."""
+    """R = P^T for a factored prolongator (shares its arrays)."""
 
-    P: FactoredProlongator
+    P: object  # FactoredProlongator | BSGTransferProlongator | ...
 
     def matvec(self, r: jax.Array) -> jax.Array:
         return self.P.rmatvec(r)
@@ -621,6 +681,8 @@ def smoothed_aggregation_setup(
     timings_out: Optional[dict] = None,
     bsg_mid_levels: bool = True,
     bsg_level_min_rows: int = 100_000,
+    bsg_transfers: bool = True,
+    bsg_transfer_min_rows: int = 200_000,
 ) -> AMGPreconditioner:
     """Build the SA-AMG hierarchy from the host CSR operator.
 
@@ -813,6 +875,17 @@ def smoothed_aggregation_setup(
         # coarse pad length below must be TILE-aligned and the coarse
         # operator/agg get the host RCM relabel after the Galerkin product.
         coarse_bsg = bsg_chain and this_bsg and n_c > bsg_level_min_rows
+        # Will THIS level's transfers be BSG-packed (rectangular shuffle
+        # gathers instead of take/segment_sum)?  Requires the fine-side
+        # operator of the level to be a BSG matrix and enough rows for the
+        # serialized-gather cost to matter.
+        bsg_tx_level = (
+            bsg_transfers
+            and bsg_chain
+            and this_bsg
+            and A_k.shape[0] >= bsg_transfer_min_rows
+            and n_c > 0
+        )
         # Smoothed prolongator P = (I - omega/lmax D^-1 A) T, where T is the
         # normalized piecewise-constant tentative prolongator.  Built
         # natively in one pass (ddps_native.cpp::sa_prolongator) — the
@@ -887,20 +960,39 @@ def smoothed_aggregation_setup(
             # f32: tol=0.01 -> level-1 width 58->33, 7 CG iterations,
             # 3.7x faster V-cycle; tol>=0.05 over-weakens the hierarchy.
             A_c = _filter_weak_entries(A_c, filter_tol)
-        if coarse_bsg:
-            # Host RCM of the coarse operator so the NEXT level's identity
-            # layout is already bandwidth-minimizing — bsg_from_csr then
-            # packs it with reorder=False (perm=None, identity internal
-            # space) and the standard identity-space factored transfers
-            # below stay exact.  agg is relabeled to the new coarse ids;
-            # tval (= 1/sqrt(counts[agg])) is label-invariant under the
-            # bijection, so the already-built prolongator values and the
-            # Galerkin product above are untouched.
-            from scipy.sparse.csgraph import reverse_cuthill_mckee
+        if coarse_bsg or bsg_tx_level:
+            # Relabel the coarse space so the NEXT level's identity layout
+            # is bandwidth-friendly — bsg_from_csr then packs it with
+            # reorder=False (perm=None, identity internal space) and the
+            # identity-space factored transfers stay exact.  agg is
+            # relabeled to the new coarse ids; tval (= 1/sqrt(counts[agg]))
+            # is label-invariant under the bijection, so the already-built
+            # prolongator values and the Galerkin product are untouched.
+            #
+            # Two orderings, same algebra: when this level's transfers are
+            # BSG-packed, coarse ids are ranked by FIRST APPEARANCE along
+            # the fine internal (RCM) order — agg becomes near-monotone,
+            # so the rectangular transfer packs collapse to a few
+            # micro-ops per tile (the fine-RCM trace is itself a
+            # locality-preserving order for the coarse operator).
+            # Otherwise plain coarse-graph RCM.
+            if bsg_tx_level:
+                if (
+                    len(levels) == 0
+                    and use_fine_op
+                    and getattr(fine_operator, "perm", None) is not None
+                ):
+                    seq = agg[np.argsort(np.asarray(fine_operator.perm))]
+                else:
+                    seq = agg
+                u, first = np.unique(seq, return_index=True)
+                order_c = u[np.argsort(first)].astype(np.int64)
+            else:
+                from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-            order_c = np.asarray(
-                reverse_cuthill_mckee(A_c, symmetric_mode=True)
-            ).astype(np.int64)
+                order_c = np.asarray(
+                    reverse_cuthill_mckee(A_c, symmetric_mode=True)
+                ).astype(np.int64)
             perm_c = np.empty(n_c, dtype=np.int64)
             perm_c[order_c] = np.arange(n_c, dtype=np.int64)
             A_c = A_c[order_c][:, order_c].tocsr()
@@ -1012,6 +1104,13 @@ def smoothed_aggregation_setup(
                     brick=brick,
                     n_pad_c=n_pad_c,
                 )
+            elif bsg_tx_level and isinstance(fine_operator, BSGMatrix):
+                G, GT = _build_bsg_transfers(
+                    agg, counts, perm[: n_f], n_c, n_pad_f, n_pad_c
+                )
+                P_fact = BSGTransferProlongator(
+                    G=G, GT=GT, scale=scale_dev, A=lvl_A, n_pad_c=n_pad_c
+                )
             else:
                 agg_pad = np.zeros(n_pad_f, dtype=np.int32)
                 agg_pad[perm] = agg
@@ -1065,6 +1164,16 @@ def smoothed_aggregation_setup(
                     brick=brick,
                     n_pad_c=n_pad_c,
                     n_pad_f=n_pad_f,
+                )
+            elif bsg_tx_level and isinstance(lvl_A, BSGMatrix):
+                G, GT = _build_bsg_transfers(
+                    agg, counts,
+                    np.arange(n_f, dtype=np.int64),
+                    n_c, n_pad_f, n_pad_c,
+                )
+                P_fact = BSGTransferProlongator(
+                    G=G, GT=GT, scale=jnp.asarray(scale_pad), A=lvl_A,
+                    n_pad_c=n_pad_c,
                 )
             else:
                 agg_pad = np.zeros(n_pad_f, dtype=np.int32)

@@ -292,3 +292,59 @@ def test_amg_bsg_mid_levels_match_ell_hierarchy():
     S = sp.csr_matrix((sy.A.data, sy.A.indices, sy.A.indptr), shape=sy.A.shape)
     x = B.get_vector(r_bsg.x).astype(np.float64)
     assert np.linalg.norm(S @ x - bb) / np.linalg.norm(bb) < 1e-5
+
+
+def test_amg_bsg_transfers_match_gather_transfers():
+    """With bsg_transfer_min_rows forced tiny, every BSG level's transfers
+    become rectangular BSG shuffle gathers (BSGTransferProlongator) under
+    the first-appearance coarse relabel.  Same algebra as the
+    take/segment_sum form up to f32 summation order in T^T, so CG
+    iteration counts must match within 2 and the solution must solve the
+    system."""
+    from domain_decomposed_pde_solver_tpu.ops.bsg import BSGMatrix, bsg_from_csr
+    from domain_decomposed_pde_solver_tpu.solvers.precond.amg import (
+        BSGTransferProlongator,
+    )
+
+    mesh = read_exodus("/root/reference/data/brick.exo")
+    sy = assemble_heat_system(mesh)
+    bb = (sy.b / np.abs(sy.b).max()).astype(np.float32)
+
+    B = bsg_from_csr(sy.A)
+    M_gather = smoothed_aggregation_setup(
+        sy.A, dtype=jnp.float32, fine_operator=B, bsg_level_min_rows=20,
+        bsg_transfers=False,
+    )
+    M_tx = smoothed_aggregation_setup(
+        sy.A, dtype=jnp.float32, fine_operator=B, bsg_level_min_rows=20,
+        bsg_transfer_min_rows=20,
+    )
+    assert isinstance(M_tx.levels[0].P, BSGTransferProlongator)
+    assert isinstance(M_tx.levels[1].A, BSGMatrix)
+    assert isinstance(M_tx.levels[1].P, BSGTransferProlongator)
+    # Direct operator equivalence on the finest level: P/R applied to a
+    # random vector must match the gather/segment_sum forms (the two
+    # hierarchies share aggregates per level only at level 0, where the
+    # coarse relabels also agree... they don't — so compare P@x through
+    # each hierarchy's own coarse labeling via round trips instead):
+    # R(P(x_c)) is label-invariant for matching aggregate partitions.
+    rng = np.random.default_rng(0)
+    x_f = jnp.asarray(rng.normal(size=B.n_pad).astype(np.float32))
+    y_g = M_gather.levels[0].P.matvec(M_gather.levels[0].R.matvec(x_f))
+    y_t = M_tx.levels[0].P.matvec(M_tx.levels[0].R.matvec(x_f))
+    np.testing.assert_allclose(
+        np.asarray(y_g), np.asarray(y_t), rtol=2e-4, atol=2e-5
+    )
+
+    b_b = B.put_vector(bb)
+    r_g = cg_solve(B, b_b, jnp.zeros_like(b_b), precond=M_gather,
+                   tol=1e-6, maxiter=100)
+    r_t = cg_solve(B, b_b, jnp.zeros_like(b_b), precond=M_tx,
+                   tol=1e-6, maxiter=100)
+    assert bool(r_t.converged)
+    assert abs(int(r_t.iterations) - int(r_g.iterations)) <= 2
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((sy.A.data, sy.A.indices, sy.A.indptr), shape=sy.A.shape)
+    x = B.get_vector(r_t.x).astype(np.float64)
+    assert np.linalg.norm(S @ x - bb) / np.linalg.norm(bb) < 1e-5
