@@ -61,6 +61,9 @@ SUBL = 8
 # Ragged-layout chunk cap: tmap is scalar-prefetch (whole array in SMEM,
 # 1 MB total); 64k chunks = 256 KB int32, leaving room for w0 blocks etc.
 _TMAP_CAP = 65536
+# Updates per segment of the 2-D sparse-upload scatter (patchable in tests
+# to exercise the multi-segment + last-segment-padding logic at small nnz).
+_UPLOAD_SEG = 1 << 24
 
 
 @partial(
@@ -387,7 +390,7 @@ def bsg_from_csr(
 
     n_slots = m_tot * SUBL * LANES
     if sparse_upload == "auto":
-        sparse_upload = rows.size < 0.25 * n_slots and n_slots <= 2**31 - 1
+        sparse_upload = rows.size < 0.25 * n_slots
     if storage == "auto":
         # Bit-level exactness check on the CSR values (native one-pass; the
         # ml_dtypes host cast of the dense slot array cost ~7 s at 6M nnz).
@@ -409,7 +412,19 @@ def bsg_from_csr(
         diag = np.zeros(n_pad, dtype=np.float32)
         dmask = rows == cols
         diag[rows[dmask]] = data[dmask].astype(np.float32)
-    if sparse_upload:
+    if sparse_upload and (n_slots > 2**31 - 1 or sparse_upload == "2d"):
+        # Level-4-scale operators: the flat slot index overflows int32, so
+        # scatter into the 2-D (m_tot, 1024) view with (micro-op, in-tile
+        # slot) index pairs instead — per-dimension index math stays in
+        # range, and the updates stream in fixed-size segments through a
+        # DONATED jit buffer so peak HBM is the final array plus one
+        # segment (not 2x the array, which at a ~5 GB value plane would
+        # not fit next to the rest of the solve).
+        vals, rm, qq = _sparse_upload_2d(
+            gmo, a, l, g, r, b, win, data, storage, m_tot, shape4
+        )
+        _mark("upload_scatter2d")
+    elif sparse_upload:
         # (index, value) upload + device scatter: the dense slot arrays
         # are (1 - fill) zeros, and fill shrinks with scale.  Slot
         # uniqueness: within a micro-op each output (a, l) appears at most
@@ -620,6 +635,59 @@ def bsg_from_coo(
         win=win,
         x_len=int(x_len),
     )
+
+
+def _sparse_upload_2d(gmo, a, l, g, r, b, win, data, storage, m_tot, shape4):
+    """Sparse (index, value) upload for slot spaces past int32: scatter
+    into the 2-D (m_tot, 1024) view with (micro-op int32, in-tile slot
+    int16) pairs, streamed in fixed-size segments through a donated jit
+    buffer (peak HBM = final plane + one ~112 MB segment).  The last
+    segment is padded with out-of-range micro-op ids, which scatter-drop
+    (mode="drop") — one compile per plane dtype."""
+    from functools import partial as _partial
+
+    vdt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
+    mo = gmo.astype(np.int32)
+    off = (a * LANES + l).astype(np.int16)
+    offq = (a * LANES + r).astype(np.int16)
+    qrow = (g - b * win).astype(np.int8)
+    r8 = r.astype(np.int8)
+    int_vals = bool(
+        data.size
+        and np.all(data == np.rint(data))
+        and np.abs(data).max() <= 127
+    )
+    vhost = data.astype(np.int8) if int_vals else data.astype(np.dtype(vdt))
+
+    @_partial(jax.jit, donate_argnums=(0,))
+    def upd(buf, m, o, v):
+        return buf.at[m, o].set(v.astype(buf.dtype), mode="drop")
+
+    SEG = _UPLOAD_SEG
+    n = mo.shape[0]
+
+    def scatter(dtype, oidx, vals_h):
+        buf = jnp.zeros((m_tot, TILE), dtype)
+        for s in range(0, n, SEG):
+            e = min(n, s + SEG)
+            msl, osl, vsl = mo[s:e], oidx[s:e], vals_h[s:e]
+            if e - s < SEG and n > SEG:
+                pad = SEG - (e - s)
+                msl = np.concatenate(
+                    [msl, np.full(pad, m_tot, np.int32)]
+                )
+                osl = np.concatenate([osl, np.zeros(pad, osl.dtype)])
+                vsl = np.concatenate([vsl, np.zeros(pad, vsl.dtype)])
+            buf = upd(
+                buf, jnp.asarray(msl), jnp.asarray(osl), jnp.asarray(vsl)
+            )
+        return buf.reshape(shape4)
+
+    vals = scatter(vdt, off, vhost)
+    rm = scatter(jnp.int8, off, r8)
+    qq = scatter(jnp.int8, offq, qrow)
+    jax.block_until_ready((vals, rm, qq))
+    return vals, rm, qq
 
 
 def _bsg_fill_dense(rows, cols, data, mo_index, win, n_tiles, max_mo, n_pad):

@@ -309,3 +309,35 @@ def test_native_fill_matches_numpy_fill(data_dir):
             np.asarray(getattr(B1, f)), np.asarray(getattr(B0, f))
         )
     assert B1.max_mo == B0.max_mo
+
+
+def test_bsg_sparse_upload_2d_bit_identical():
+    """The 2-D segmented (micro-op, slot) scatter — the path for slot
+    spaces past int32 at 25M-row scale — must produce the same packed
+    operator as the dense host fill, including the last-segment padding
+    (out-of-range micro-op ids scatter-drop)."""
+    S = _random_laplacian(3000, 12, 7)
+    Ad = bsg_from_csr(_to_csr(S), win=8, sparse_upload=False)
+    A2 = bsg_from_csr(_to_csr(S), win=8, sparse_upload="2d")
+    assert A2.max_mo == Ad.max_mo and A2.n_tiles == Ad.n_tiles
+    for name in ("w0", "qq", "rm", "vals", "diag"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(A2, name)), np.asarray(getattr(Ad, name)),
+            err_msg=name,
+        )
+
+
+def test_bsg_sparse_upload_2d_segmented(monkeypatch):
+    """Multi-segment streaming + last-segment OOB padding of the 2-D
+    scatter, forced by shrinking the segment size below nnz."""
+    import domain_decomposed_pde_solver_tpu.ops.bsg as bsgmod
+
+    monkeypatch.setattr(bsgmod, "_UPLOAD_SEG", 4096)
+    S = _random_laplacian(2000, 10, 13)
+    Ad = bsg_from_csr(_to_csr(S), win=8, sparse_upload=False)
+    A2 = bsg_from_csr(_to_csr(S), win=8, sparse_upload="2d")
+    for name in ("w0", "qq", "rm", "vals", "diag"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(A2, name)), np.asarray(getattr(Ad, name)),
+            err_msg=name,
+        )
