@@ -389,8 +389,6 @@ def bsg_from_csr(
         w0 = np.zeros(m_tot, dtype=np.int32)
 
     n_slots = m_tot * SUBL * LANES
-    if sparse_upload == "auto":
-        sparse_upload = rows.size < 0.25 * n_slots
     if storage == "auto":
         # Bit-level exactness check on the CSR values (native one-pass; the
         # ml_dtypes host cast of the dense slot array cost ~7 s at 6M nnz).
@@ -398,6 +396,18 @@ def bsg_from_csr(
         from .dia import _bf16_exact
 
         storage = "bfloat16" if _bf16_exact(np.asarray(csr.data)) else "float32"
+    if sparse_upload == "auto":
+        # Byte-based decision: on the tunneled host->device link (0.7-80
+        # MB/s) the TRANSFER dominates the pack, so compare actual bytes
+        # moved, not slot fill.  Sparse ships idx int32 + lane int8 +
+        # window row int8 + value (int8/bf16/f32); dense ships every slot's
+        # value + rm + qq.  The old 0.25-fill gate kept a 143k-row AMG mid
+        # level (fill 0.248) on the dense path — 138 MB and 85 s of the
+        # setup at a slow tunnel state vs ~46 MB sparse.
+        v_b = 2 if storage == "bfloat16" else 4
+        sparse_b = rows.size * (6 + v_b)
+        dense_b = n_slots * (2 + v_b)
+        sparse_upload = sparse_b < 0.8 * dense_b
     _mark("layout")
     a = (rows % TILE) // LANES
     l = rows % LANES
@@ -425,54 +435,9 @@ def bsg_from_csr(
         )
         _mark("upload_scatter2d")
     elif sparse_upload:
-        # (index, value) upload + device scatter: the dense slot arrays
-        # are (1 - fill) zeros, and fill shrinks with scale.  Slot
-        # uniqueness: within a micro-op each output (a, l) appears at most
-        # once (vals/rm slots) and each source (a, r) at most once (qq
-        # slots) — the packer's conflict rules — so .at[].set has no
-        # duplicate collisions and the result is bit-identical to the
-        # dense fill (tests/test_bsg.py asserts it).  Upload is 8 B/nnz
-        # (10 for f32 values): slot index int32 + source lane int8 +
-        # window row int8 + value (bf16 when every value round-trips
-        # exactly, the pre-resolved ``storage``); the output lane and the
-        # qq slot index are derived ON DEVICE (l = idx % 128,
-        # idx_q = idx - l + r) — the host->device link is the dominant
-        # pack cost at multi-M nnz on this tunneled environment.
-        idx_vl = jnp.asarray(((base + a) * LANES + l).astype(np.int32))
-        r8 = jnp.asarray(r.astype(np.int8))
-        qrow8 = jnp.asarray((g - b * win).astype(np.int8))
-        vdt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
-        # Integer-valued operators (the graph Laplacian: -1 off-diagonal,
-        # small positive degrees) round-trip through int8 — halves the
-        # value-stream bytes on the tunneled host->device link, which is
-        # the dominant pack cost at multi-M nnz (0.7-80 MB/s link).
-        if (
-            data.size
-            and np.all(data == np.rint(data))
-            and np.abs(data).max() <= 127
-        ):
-            vals_up = jnp.asarray(data.astype(np.int8))
-        else:
-            vals_up = jnp.asarray(data.astype(np.dtype(vdt)))
-        jax.block_until_ready((idx_vl, r8, qrow8, vals_up))
-        _mark("upload_h2d")
-        l32 = jnp.remainder(idx_vl, LANES)
-        idx_q = idx_vl - l32 + r8.astype(jnp.int32)
-        vals = (
-            jnp.zeros(n_slots, vdt)
-            .at[idx_vl]
-            .set(vals_up.astype(vdt))
-            .reshape(shape4)
+        vals, rm, qq = _sparse_upload_1d(
+            base, a, l, g, r, b, win, data, storage, n_slots, shape4, _mark
         )
-        rm = jnp.zeros(n_slots, jnp.int8).at[idx_vl].set(r8).reshape(shape4)
-        qq = (
-            jnp.zeros(n_slots, jnp.int8)
-            .at[idx_q]
-            .set(qrow8)
-            .reshape(shape4)
-        )
-        jax.block_until_ready((vals, rm, qq))
-        _mark("scatter_dev")
     elif layout == "ragged":
         ch, mc = gmo // chunk, gmo % chunk
         vals = np.zeros(shape4, dtype=np.float32)
@@ -610,13 +575,51 @@ def bsg_from_coo(
     n_pad = n_tiles * TILE
     nx2 = -(-int(x_len) // LANES) + win  # zero guard rows for windows
     mo_index, max_mo = _assign_micro_ops(rows, cols, win, n_tiles, nx2, n_pad)
-    w0, qq, rm, vals, _diag = _bsg_fill_dense(
-        rows, cols, data, mo_index, win, n_tiles, max_mo, n_pad
-    )
     if storage == "auto":
         from .dia import _bf16_exact
 
         storage = "bfloat16" if _bf16_exact(data) else "float32"
+    n_slots = n_tiles * max_mo * TILE
+    v_b = 2 if storage == "bfloat16" else 4
+    if (
+        rows.size * (6 + v_b) < 0.8 * n_slots * (2 + v_b)
+        and n_slots <= 2**31 - 1
+    ):
+        # Low fill: ship (index, value) pairs, scatter on device (same
+        # byte-based gate as bsg_from_csr — the link dominates pack cost).
+        t = rows // TILE
+        a = (rows % TILE) // LANES
+        l = rows % LANES
+        g = cols // LANES
+        r = cols % LANES
+        b = g // win
+        gmo = t * np.int64(max_mo) + mo_index
+        w0 = np.zeros(n_tiles * max_mo, dtype=np.int32)
+        w0[gmo] = (b * win).astype(np.int32)
+        w0 = w0.reshape(n_tiles, max_mo)
+        shape4 = (n_tiles, max_mo, SUBL, LANES)
+        vals_j, rm, qq = _sparse_upload_1d(
+            gmo * np.int64(SUBL), a, l, g, r, b, win, data, storage,
+            n_slots, shape4,
+        )
+        return BSGMatrix(
+            w0=jnp.asarray(w0),
+            qq=qq,
+            rm=rm,
+            vals=vals_j,
+            diag=jnp.zeros((n_pad,), jnp.float32),
+            perm=None,
+            n_rows=int(n_rows),
+            n_tiles=n_tiles,
+            max_mo=max_mo,
+            nx2=nx2,
+            storage=storage,
+            win=win,
+            x_len=int(x_len),
+        )
+    w0, qq, rm, vals, _diag = _bsg_fill_dense(
+        rows, cols, data, mo_index, win, n_tiles, max_mo, n_pad
+    )
     vals_j = jnp.asarray(vals)
     if storage == "bfloat16":
         vals_j = vals_j.astype(jnp.bfloat16)
@@ -635,6 +638,56 @@ def bsg_from_coo(
         win=win,
         x_len=int(x_len),
     )
+
+
+def _sparse_upload_1d(base, a, l, g, r, b, win, data, storage, n_slots,
+                      shape4, _mark=lambda name: None):
+    """(index, value) upload + device scatter: the dense slot arrays
+    are (1 - fill) zeros, and fill shrinks with scale.  Slot
+    uniqueness: within a micro-op each output (a, l) appears at most
+    once (vals/rm slots) and each source (a, r) at most once (qq
+    slots) — the packer's conflict rules — so .at[].set has no
+    duplicate collisions and the result is bit-identical to the
+    dense fill (tests/test_bsg.py asserts it).  Upload is 8 B/nnz
+    (10 for f32 values, 7 for integer-valued operators): slot index
+    int32 + source lane int8 + window row int8 + value (int8 when every
+    value is a small integer — the graph Laplacian — else bf16/f32 per
+    the pre-resolved ``storage``); the output lane and the qq slot index
+    are derived ON DEVICE (l = idx % 128, idx_q = idx - l + r) — the
+    host->device link is the dominant pack cost at multi-M nnz on this
+    tunneled environment."""
+    idx_vl = jnp.asarray(((base + a) * LANES + l).astype(np.int32))
+    r8 = jnp.asarray(r.astype(np.int8))
+    qrow8 = jnp.asarray((g - b * win).astype(np.int8))
+    vdt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
+    if (
+        data.size
+        and np.all(data == np.rint(data))
+        and np.abs(data).max() <= 127
+    ):
+        vals_up = jnp.asarray(data.astype(np.int8))
+    else:
+        vals_up = jnp.asarray(data.astype(np.dtype(vdt)))
+    jax.block_until_ready((idx_vl, r8, qrow8, vals_up))
+    _mark("upload_h2d")
+    l32 = jnp.remainder(idx_vl, LANES)
+    idx_q = idx_vl - l32 + r8.astype(jnp.int32)
+    vals = (
+        jnp.zeros(n_slots, vdt)
+        .at[idx_vl]
+        .set(vals_up.astype(vdt))
+        .reshape(shape4)
+    )
+    rm = jnp.zeros(n_slots, jnp.int8).at[idx_vl].set(r8).reshape(shape4)
+    qq = (
+        jnp.zeros(n_slots, jnp.int8)
+        .at[idx_q]
+        .set(qrow8)
+        .reshape(shape4)
+    )
+    jax.block_until_ready((vals, rm, qq))
+    _mark("scatter_dev")
+    return vals, rm, qq
 
 
 def _sparse_upload_2d(gmo, a, l, g, r, b, win, data, storage, m_tot, shape4):

@@ -177,22 +177,16 @@ def _lmax_dinv_a_host(S) -> float:
     memory traffic of the 20 power matvecs; ~16 s -> ~9 s at 10M DOF) —
     gated so small hierarchies stay bit-identical.
 
-    Above 1.5M rows the estimate is replaced outright by the native
-    Gershgorin bound of D^-1 A (one streaming pass, ~0.7 s vs ~13 s of
-    power matvecs at 10M DOF; the 3.2M lbracket level-0 sat just under
-    the old 4M gate and paid 6.5 s of host matvecs — VERDICT r4 item 6).
-    Gershgorin is a guaranteed containment bound — for the Chebyshev
-    interval that is strictly safer than the power method's
-    underestimate-plus-5%; on fine-level Laplacians the two agree to
-    ~2% (both ~2.0)."""
-    if S.shape[0] > 1_500_000:
-        from ...utils.native import gersh_dinv_native
-
-        g = gersh_dinv_native(
-            np.asarray(S.indptr, np.int64), S.indices, S.data, S.shape[0]
-        )
-        if g is not None and g > 0:
-            return float(g)
+    A round-5 commit briefly replaced the estimate above 1.5M rows with
+    the native Gershgorin bound (one streaming pass) — REVERTED after an
+    on-chip A/B at 3.2M-row refined lbracket: the bound (2.0) overshoots
+    the actual top of the spectrum (power est. ~1.34 here — tet meshes
+    are far from bipartite, where D^-1 A would reach 2), which both
+    shrinks the prolongator smoothing weight omega/lmax and lifts the
+    Chebyshev interval off the true spectrum.  Measured: CG+AMG(1e-6)
+    49 iters / 1727 ms with Gershgorin vs 35 iters / 1168 ms with the
+    power estimate.  Containment is the wrong objective for hierarchy
+    QUALITY; the f32/int32 recast keeps the cost ~2 s at 3.2M rows."""
     if S.shape[0] > 1_500_000 and S.nnz < 2**31:
         import scipy.sparse as sp
 
@@ -1020,7 +1014,10 @@ def smoothed_aggregation_setup(
             # transfers below need no space map.
             from ...ops.bsg import bsg_from_csr
 
-            lvl_A = bsg_from_csr(csr_k, reorder=False)
+            _ptm = {}
+            lvl_A = bsg_from_csr(csr_k, reorder=False, timings_out=_ptm)
+            for _k, _v in _ptm.items():  # split level_op into pack phases
+                _tm[f"level_op.{_k}"] = _tm.get(f"level_op.{_k}", 0.0) + _v
             assert lvl_A.n_pad == n_pad_f, (lvl_A.n_pad, n_pad_f)
         elif operator_format == "ell":
             # Plain ELL only (the block-Schwarz stacker needs uniform
