@@ -665,7 +665,7 @@ def smoothed_aggregation_setup(
     smoother: str = "chebyshev",
     smooth_steps: int = 2,
     factored_transfers: bool = True,
-    filter_tol: float = 0.01,
+    filter_tol: Union[float, str] = "auto",
     operator_format: str = "auto",
     aggressive_levels: Union[int, str] = "auto",
     grid_dims: Optional[Tuple[int, int, int]] = None,
@@ -797,6 +797,17 @@ def smoothed_aggregation_setup(
             aggressive_levels = 0
     _mark("diag_probe")
 
+    if filter_tol == "auto":
+        # Coarse-operator weak-entry filtering trades cycle cost (denser
+        # coarse levels) against hierarchy quality.  On-chip A/B at
+        # 3.2M-row refined lbracket (BSG chain): tol 0.01 -> 35 CG iters /
+        # 1167 ms, tol 0.005 -> 15 iters / 541 ms — the 0.01 lumping
+        # over-weakens the coarse correction on refined tet meshes, and
+        # the BSG mid levels absorb the extra density at bandwidth.
+        # Structured hierarchies keep the measured 0.01 (1M box: 7 iters,
+        # 3.7x faster V-cycle vs unfiltered; DIA/ELL mids pay per-entry
+        # serialized gathers, so density is expensive there).
+        filter_tol = 0.005 if bsg_chain else 0.01
     mid_bsg = False  # this level is a BSG-packed coarse level (identity
     #   internal space: its CSR is already host-RCM-permuted, see below)
     while A_k.shape[0] > coarse_size and len(levels) < max_levels - 1:
