@@ -136,6 +136,15 @@ def main():
           f"({extra['spmv_frac_of_stream_raw']:.2f} of stream raw, "
           f"{extra['spmv_frac_of_stream_useful']:.2f} useful)", flush=True)
 
+    def _hbm_mb():
+        try:
+            st = dev.memory_stats() or {}
+            return round(st.get("bytes_in_use", 0) / 1e6)
+        except Exception:
+            return None
+
+    extra["hbm_mb_after_pack"] = _hbm_mb()
+
     # --- greedy SA-AMG setup (unstructured; fine level in BSG space) ------
     tm = {}
     t0 = time.perf_counter()
@@ -144,6 +153,7 @@ def main():
     )
     extra["amg_setup_s"] = time.perf_counter() - t0
     extra["amg_setup_phases"] = {k: round(v, 2) for k, v in tm.items()}
+    extra["hbm_mb_after_amg"] = _hbm_mb()
     print(f"# AMG setup {extra['amg_setup_s']:.1f}s {extra['amg_setup_phases']}",
           flush=True)
 
