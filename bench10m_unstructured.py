@@ -94,6 +94,16 @@ def main():
           f"(refine {extra['refine_s']:.1f}s, assemble "
           f"{extra['assembly_s']:.1f}s)", flush=True)
 
+    # --- stream probe BEFORE the pack: at level 4 the operator is most of
+    # HBM and the probe's buffers no longer fit next to it ----------------
+    stream = 0.0
+    for _ in range(6):
+        stream = bench.measured_stream_gbps()
+        if stream >= 400.0:
+            break
+        time.sleep(45)
+    extra["measured_stream_gbps"] = stream
+
     # --- BSG pack (the VERDICT r3 scale question) ------------------------
     t0 = time.perf_counter()
     ptm = {}
@@ -111,13 +121,6 @@ def main():
           f"({extra['bsg_operator_mb']:.0f} MB)", flush=True)
 
     # --- SpMV roofline ----------------------------------------------------
-    stream = 0.0
-    for _ in range(6):
-        stream = bench.measured_stream_gbps()
-        if stream >= 400.0:
-            break
-        time.sleep(45)
-    extra["measured_stream_gbps"] = stream
     x = jax.random.normal(jax.random.PRNGKey(0), (A.n_pad,), jnp.float32)
     dt = bench.time_spmv_loop(A, x, k_lo=16, k_hi=64)
     raw_bytes = operator_bytes(A)

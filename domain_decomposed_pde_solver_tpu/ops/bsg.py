@@ -66,6 +66,27 @@ _TMAP_CAP = 65536
 _UPLOAD_SEG = 1 << 24
 
 
+def _storage_vdt(storage):
+    return {
+        "int8": jnp.int8, "bfloat16": jnp.bfloat16, "float32": jnp.float32
+    }[storage]
+
+
+def _value_bytes(storage) -> int:
+    return {"int8": 1, "bfloat16": 2, "float32": 4}[storage]
+
+
+def _int8_exact(vals: np.ndarray) -> bool:
+    """True iff every value is an integer in [-127, 127] — the graph
+    Laplacian (degrees and -1s) qualifies, so its value plane stores as
+    int8: 1 B/slot instead of bf16's 2 (the fine operator is the HBM
+    budget at 25M rows), converted to f32 inside the kernel."""
+    if not vals.size:
+        return True
+    m = float(np.abs(vals).max())
+    return m <= 127 and bool(np.all(vals == np.rint(vals)))
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["w0", "qq", "rm", "vals", "diag", "perm", "tmap"],
@@ -269,7 +290,16 @@ def bsg_from_csr(
         # 2948 / 2055 / 1481 / 1340 / 1149 MB — wider windows raise slot
         # fill faster than the extra sub-tile selects cost, flattening
         # past 48.  64 takes both best time and smallest footprint.
-        win = 64 if csr.n_rows >= 64 * TILE else SUBL
+        # At 16M+ rows the operator is the HBM budget (level-4 lbracket:
+        # 12.2 GB at win=64 vs ~16 GB total) — take the widest window the
+        # int8 qq admits (120) for maximum fill; the extra sub-tile
+        # selects stay under the byte time at this scale.
+        if csr.n_rows >= 16 * 1024 * TILE:
+            win = 120
+        elif csr.n_rows >= 64 * TILE:
+            win = 64
+        else:
+            win = SUBL
     if win % SUBL or not 0 < win <= 127:
         raise ValueError("win must be a multiple of 8 in [8, 127] (int8 qq)")
     if layout not in ("auto", "dense", "ragged"):
@@ -395,7 +425,13 @@ def bsg_from_csr(
         # Resolved BEFORE the fill so the sparse upload can ship bf16.
         from .dia import _bf16_exact
 
-        storage = "bfloat16" if _bf16_exact(np.asarray(csr.data)) else "float32"
+        cd = np.asarray(csr.data)
+        if _int8_exact(cd):
+            storage = "int8"
+        elif _bf16_exact(cd):
+            storage = "bfloat16"
+        else:
+            storage = "float32"
     if sparse_upload == "auto":
         # Byte-based decision: on the tunneled host->device link (0.7-80
         # MB/s) the TRANSFER dominates the pack, so compare actual bytes
@@ -404,8 +440,8 @@ def bsg_from_csr(
         # value + rm + qq.  The old 0.25-fill gate kept a 143k-row AMG mid
         # level (fill 0.248) on the dense path — 138 MB and 85 s of the
         # setup at a slow tunnel state vs ~46 MB sparse.
-        v_b = 2 if storage == "bfloat16" else 4
-        sparse_b = rows.size * (6 + v_b)
+        v_b = _value_bytes(storage)
+        sparse_b = rows.size * (6 + max(v_b, 1))
         dense_b = n_slots * (2 + v_b)
         sparse_upload = sparse_b < 0.8 * dense_b
     _mark("layout")
@@ -455,8 +491,9 @@ def bsg_from_csr(
         _mark("host_fill")
 
     vals_j = jnp.asarray(vals)
-    if storage == "bfloat16" and vals_j.dtype != jnp.bfloat16:
-        vals_j = vals_j.astype(jnp.bfloat16)  # cast on device (XLA), not host
+    vdt = _storage_vdt(storage)
+    if vals_j.dtype != vdt:
+        vals_j = vals_j.astype(vdt)  # cast on device (XLA), not host
     _mark("storage_cast")
 
     return BSGMatrix(
@@ -578,9 +615,14 @@ def bsg_from_coo(
     if storage == "auto":
         from .dia import _bf16_exact
 
-        storage = "bfloat16" if _bf16_exact(data) else "float32"
+        if _int8_exact(data):
+            storage = "int8"
+        elif _bf16_exact(data):
+            storage = "bfloat16"
+        else:
+            storage = "float32"
     n_slots = n_tiles * max_mo * TILE
-    v_b = 2 if storage == "bfloat16" else 4
+    v_b = _value_bytes(storage)
     if (
         rows.size * (6 + v_b) < 0.8 * n_slots * (2 + v_b)
         and n_slots <= 2**31 - 1
@@ -621,8 +663,8 @@ def bsg_from_coo(
         rows, cols, data, mo_index, win, n_tiles, max_mo, n_pad
     )
     vals_j = jnp.asarray(vals)
-    if storage == "bfloat16":
-        vals_j = vals_j.astype(jnp.bfloat16)
+    if vals_j.dtype != _storage_vdt(storage):
+        vals_j = vals_j.astype(_storage_vdt(storage))
     return BSGMatrix(
         w0=jnp.asarray(w0),
         qq=jnp.asarray(qq),
@@ -659,7 +701,7 @@ def _sparse_upload_1d(base, a, l, g, r, b, win, data, storage, n_slots,
     idx_vl = jnp.asarray(((base + a) * LANES + l).astype(np.int32))
     r8 = jnp.asarray(r.astype(np.int8))
     qrow8 = jnp.asarray((g - b * win).astype(np.int8))
-    vdt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
+    vdt = _storage_vdt(storage)
     if (
         data.size
         and np.all(data == np.rint(data))
@@ -699,7 +741,7 @@ def _sparse_upload_2d(gmo, a, l, g, r, b, win, data, storage, m_tot, shape4):
     (mode="drop") — one compile per plane dtype."""
     from functools import partial as _partial
 
-    vdt = jnp.bfloat16 if storage == "bfloat16" else jnp.float32
+    vdt = _storage_vdt(storage)
     mo = gmo.astype(np.int32)
     off = (a * LANES + l).astype(np.int16)
     offq = (a * LANES + r).astype(np.int16)

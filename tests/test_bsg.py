@@ -212,11 +212,18 @@ def test_bsg_diagonal():
     np.testing.assert_allclose(d, S.diagonal(), rtol=0, atol=0)
 
 
-def test_bsg_exact_bf16_storage_for_integer_laplacian():
+def test_bsg_exact_compact_storage_for_integer_laplacian():
     S = _random_laplacian(300, 6, 6)
     A = bsg_from_csr(_to_csr(S))
-    # Graph-Laplacian entries are small integers: bf16 is exact.
-    assert A.storage == "bfloat16"
+    # Graph-Laplacian entries are small integers: int8 is exact (bf16 is
+    # the middle tier for integer-but-large or bf16-round-trippable data).
+    assert A.storage == "int8"
+    A2 = bsg_from_csr(_to_csr(S), storage="bfloat16")
+    assert A2.storage == "bfloat16"
+    x = np.random.default_rng(4).standard_normal(300).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(A.matvec_reference(A.put_vector(x))),
+        np.asarray(A2.matvec_reference(A2.put_vector(x))))
 
 
 def test_bsg_float_values_keep_f32():
@@ -341,3 +348,33 @@ def test_bsg_sparse_upload_2d_segmented(monkeypatch):
             np.asarray(getattr(A2, name)), np.asarray(getattr(Ad, name)),
             err_msg=name,
         )
+
+
+def test_bsg_int8_storage_auto():
+    """Integer-valued operators (the graph Laplacian) store the value
+    plane as int8 (1 B/slot) with bit-identical SpMV results; non-integer
+    values keep bf16/f32."""
+    import jax.numpy as jnp
+
+    S = _random_laplacian(3000, 12, 5)
+    A = bsg_from_csr(_to_csr(S))
+    assert A.storage == "int8" and A.vals.dtype == jnp.int8
+    x = np.random.default_rng(9).standard_normal(3000).astype(np.float32)
+    y_ref = (S @ x).astype(np.float32)
+    xp = A.put_vector(x)
+    np.testing.assert_allclose(
+        A.get_vector(np.asarray(A.matvec_reference(xp))), y_ref,
+        rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        A.get_vector(np.asarray(bsg_spmv(A, xp, interpret=True))), y_ref,
+        rtol=2e-5, atol=1e-4)
+
+    from domain_decomposed_pde_solver_tpu.ops.csr import CSRMatrix
+
+    S2 = S.astype(np.float64) * 0.3  # non-integer values
+    c = _to_csr(S2)
+    A2 = bsg_from_csr(c)
+    assert A2.storage in ("bfloat16", "float32")
+    y2 = A2.get_vector(np.asarray(A2.matvec_reference(A2.put_vector(x))))
+    np.testing.assert_allclose(y2, (S2 @ x).astype(np.float32),
+                               rtol=2e-3, atol=1e-3)
